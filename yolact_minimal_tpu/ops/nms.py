@@ -1,0 +1,113 @@
+"""Detection postprocessing: box decode + fast-NMS + mask assembly, fully
+on-device with fixed shapes.
+
+TPU-native redesign of /root/reference/utils/output_utils.py:11-163. The
+reference filters anchors by score with boolean masks (dynamic shapes) and
+returns None when nothing survives; here every stage is fixed-shape — scores
+below threshold are masked to -inf, per-class top-k is `lax.top_k`, the
+suppression is the same upper-triangular IoU-max matrix trick, and the output
+is a static [max_detections] slate with a validity mask instead of a dynamic
+count. One jitted graph serves every image; no host sync anywhere.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from yolact_minimal_tpu.ops.boxes import box_iou, crop, decode
+from yolact_minimal_tpu.ops.resize import resize_bilinear_hw_last
+
+NEG_INF = -1e10
+
+
+class Detections(NamedTuple):
+    ids: jnp.ndarray     # [D] int32 class ids (0-based, background excluded)
+    scores: jnp.ndarray  # [D] float32 class confidence
+    boxes: jnp.ndarray   # [D, 4] normalized xyxy
+    coefs: jnp.ndarray   # [D, 32] mask coefficients
+    valid: jnp.ndarray   # [D] bool — detection slate validity
+
+
+def fast_nms(boxes: jnp.ndarray, coefs: jnp.ndarray, scores: jnp.ndarray,
+             score_mask: jnp.ndarray, top_k: int, iou_thre: float,
+             max_detections: int) -> Detections:
+    """Fixed-shape fast-NMS (reference output_utils.py:11-43).
+
+    Args:
+      boxes:  [A, 4] decoded xyxy boxes.
+      coefs:  [A, 32] mask coefficients.
+      scores: [C-1, A] per-class scores (background already dropped).
+      score_mask: [C-1, A] bool — score passed nms_score_thre.
+    """
+    num_classes = scores.shape[0]
+    top_k = min(top_k, scores.shape[1])
+    masked = jnp.where(score_mask, scores, NEG_INF)
+    cls_scores, idx = jax.lax.top_k(masked, top_k)          # [C-1, K]
+    cls_boxes = boxes[idx]                                  # [C-1, K, 4]
+    cls_coefs = coefs[idx]                                  # [C-1, K, 32]
+    cls_valid = cls_scores > NEG_INF / 2
+
+    iou = box_iou(cls_boxes, cls_boxes)                     # [C-1, K, K]
+    iou = jnp.where(cls_valid[:, None, :] & cls_valid[:, :, None], iou, 0.0)
+    iou = jnp.triu(iou, k=1)
+    iou_max = jnp.max(iou, axis=1)                          # [C-1, K]
+    keep = (iou_max <= iou_thre) & cls_valid
+
+    flat_scores = jnp.where(keep, cls_scores, NEG_INF).reshape(-1)
+    top_scores, flat_idx = jax.lax.top_k(flat_scores, max_detections)
+    valid = top_scores > NEG_INF / 2
+
+    class_ids = (flat_idx // top_k).astype(jnp.int32)
+    det_boxes = cls_boxes.reshape(-1, 4)[flat_idx]
+    det_coefs = cls_coefs.reshape(num_classes * top_k, -1)[flat_idx]
+    return Detections(class_ids, jnp.where(valid, top_scores, 0.0),
+                      det_boxes, det_coefs, valid)
+
+
+def detect_postprocess(class_pred: jnp.ndarray, box_pred: jnp.ndarray,
+                       coef_pred: jnp.ndarray, anchors: jnp.ndarray,
+                       score_thre: float, iou_thre: float, top_k: int,
+                       max_detections: int) -> Detections:
+    """Decode + threshold + fast-NMS for ONE image (reference nms(),
+    output_utils.py:126-163). Inputs are the model's eval outputs with the
+    batch dim removed: class_pred [A, C] (softmaxed), box_pred [A, 4],
+    coef_pred [A, 32]."""
+    scores = class_pred[:, 1:].T                            # [C-1, A], drop bg
+    score_mask = scores > score_thre
+    boxes = decode(box_pred, anchors, clip=True)
+    return fast_nms(boxes, coef_pred, scores, score_mask,
+                    top_k, iou_thre, max_detections)
+
+
+def detect_postprocess_batch(class_pred, box_pred, coef_pred, anchors,
+                             score_thre, iou_thre, top_k, max_detections):
+    """vmapped over the batch dimension."""
+    fn = partial(detect_postprocess, anchors=anchors, score_thre=score_thre,
+                 iou_thre=iou_thre, top_k=top_k, max_detections=max_detections)
+    return jax.vmap(fn)(class_pred, box_pred, coef_pred)
+
+
+def assemble_masks(proto: jnp.ndarray, dets: Detections,
+                   do_crop: bool = True) -> jnp.ndarray:
+    """Lincomb mask assembly at prototype resolution (reference after_nms,
+    output_utils.py:217-222): sigmoid(proto @ coefs^T), crop to boxes.
+    Returns [ph, pw, D] float masks; upsampling to image size happens
+    downstream (fixed-size jitted path or host cv2 for variable sizes)."""
+    masks = jax.nn.sigmoid(
+        jnp.matmul(proto, dets.coefs.T, preferred_element_type=jnp.float32))
+    if do_crop:
+        masks = crop(masks, dets.boxes)
+    return masks * dets.valid[None, None, :].astype(masks.dtype)
+
+
+def finalize_masks_fixed(masks_proto: jnp.ndarray, out_size: int) -> jnp.ndarray:
+    """Upsample proto-space masks [ph, pw, D] to a square [D, S, S] and
+    binarize (>0.5), entirely on device — the fixed-size analog of reference
+    after_nms's F.interpolate + gt_(0.5) (output_utils.py:224-228). The
+    caller slices [0:h, 0:w] for non-square originals."""
+    masks = jnp.transpose(masks_proto, (2, 0, 1))           # [D, ph, pw]
+    masks = resize_bilinear_hw_last(masks, out_size, out_size, align_corners=False)
+    return masks > 0.5

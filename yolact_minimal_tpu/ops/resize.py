@@ -1,0 +1,62 @@
+"""Bilinear resize as separable interpolation matmuls (MXU-friendly).
+
+The reference uses torch's F.interpolate / nn.Upsample in three distinct
+modes: align_corners=False (FPN top-down, gt-mask downsampling, after-NMS
+upsample) and align_corners=True (ProtoNet 2x upsample). We express both as
+static [out, in] interpolation matrices contracted along each spatial axis —
+a pair of small matmuls that XLA maps onto the MXU and fuses with
+surrounding ops, with exactly torch's sampling conventions (no antialias).
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@lru_cache(maxsize=None)
+def _interp_matrix(in_size: int, out_size: int, align_corners: bool) -> np.ndarray:
+    """Rows are output pixels; each row holds the two source-pixel weights."""
+    w = np.zeros((out_size, in_size), dtype=np.float32)
+    if in_size == 1:
+        w[:, 0] = 1.0
+        return w
+    for i in range(out_size):
+        if align_corners:
+            src = i * (in_size - 1) / (out_size - 1) if out_size > 1 else 0.0
+        else:
+            src = (i + 0.5) * in_size / out_size - 0.5
+        src = min(max(src, 0.0), in_size - 1)
+        lo = int(np.floor(src))
+        hi = min(lo + 1, in_size - 1)
+        frac = src - lo
+        w[i, lo] += 1.0 - frac
+        w[i, hi] += frac
+    return w
+
+
+def resize_bilinear(x: jnp.ndarray, out_h: int, out_w: int,
+                    align_corners: bool = False) -> jnp.ndarray:
+    """Bilinear-resize the two spatial axes of [..., H, W, C] to (out_h, out_w)."""
+    in_h, in_w = x.shape[-3], x.shape[-2]
+    if (in_h, in_w) == (out_h, out_w):
+        return x
+    wh = jnp.asarray(_interp_matrix(in_h, out_h, align_corners), dtype=x.dtype)
+    ww = jnp.asarray(_interp_matrix(in_w, out_w, align_corners), dtype=x.dtype)
+    x = jnp.einsum('oh,...hwc->...owc', wh, x)
+    x = jnp.einsum('ow,...hwc->...hoc', ww, x)
+    return x
+
+
+def resize_bilinear_hw_last(x: jnp.ndarray, out_h: int, out_w: int,
+                            align_corners: bool = False) -> jnp.ndarray:
+    """Same for channel-first-style [..., H, W] arrays (masks)."""
+    in_h, in_w = x.shape[-2], x.shape[-1]
+    if (in_h, in_w) == (out_h, out_w):
+        return x
+    wh = jnp.asarray(_interp_matrix(in_h, out_h, align_corners), dtype=x.dtype)
+    ww = jnp.asarray(_interp_matrix(in_w, out_w, align_corners), dtype=x.dtype)
+    x = jnp.einsum('oh,...hw->...ow', wh, x)
+    x = jnp.einsum('ow,...hw->...ho', ww, x)
+    return x
