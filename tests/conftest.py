@@ -7,13 +7,23 @@ sharding/collective paths compile and execute exactly as they would on an
 """
 import os
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+# The environment presets JAX_PLATFORMS=axon and registers the TPU plugin
+# via sitecustomize before this file runs, so plain env vars are not enough:
+# force the platform through jax.config as well.
+os.environ['JAX_PLATFORMS'] = 'cpu'
 _flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in _flags:
     os.environ['XLA_FLAGS'] = (_flags + ' --xla_force_host_platform_device_count=8').strip()
 
+import jax
+
+jax.config.update('jax_platforms', 'cpu')
+
 import numpy as np
 import pytest
+
+assert jax.default_backend() == 'cpu', jax.default_backend()
+assert len(jax.devices()) == 8, jax.devices()
 
 
 @pytest.fixture(scope='session')
