@@ -1,0 +1,104 @@
+"""Training state, optimizer schedule, and the jitted train step.
+
+TPU-native rebuild of the reference training loop core
+(/root/reference/train.py:96-135): the per-step Python LR mutation becomes an
+optax schedule with identical values; DDP's gradient all-reduce becomes XLA
+collectives induced by jit-with-sharding over the data mesh axis; BN running
+stats flow through flax's mutable `batch_stats` (DDP's broadcast_buffers has
+no analog — stats are computed over the replicated graph consistently).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+from yolact_minimal_tpu.config import Config
+from yolact_minimal_tpu.models.yolact import Yolact
+from yolact_minimal_tpu.ops import boxes as box_ops
+from yolact_minimal_tpu.ops.losses import LossBreakdown, compute_loss
+
+
+class TrainState(train_state.TrainState):
+    batch_stats: Any = None
+
+
+def lr_schedule(cfg: Config):
+    """Reproduces the reference LR policy exactly (train.py:103-109):
+    linear warmup from 0.1*lr over `warmup_until` steps, then x0.1 decay at
+    each entry of lr_steps (entry 0 is step 0 -> factor 1)."""
+    lr, warm_init, warm_until = cfg.lr, cfg.warmup_init, cfg.warmup_until
+    steps = jnp.asarray(cfg.lr_steps, dtype=jnp.float32)
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = (lr - warm_init) * (step / warm_until) + warm_init
+        decay_idx = jnp.sum(step >= steps) - 1
+        decayed = lr * 0.1 ** decay_idx
+        return jnp.where((warm_until > 0) & (step <= warm_until),
+                         jnp.minimum(warm, decayed), decayed)
+
+    return schedule
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    """SGD(momentum .9, coupled wd 5e-4) for resnets; AdamW(wd .05) for swin
+    (reference train.py:60-65)."""
+    sched = lr_schedule(cfg)
+    if cfg.optimizer == 'sgd':
+        return optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay),   # torch coupled L2
+            optax.sgd(sched, momentum=cfg.momentum))
+    elif cfg.optimizer == 'adamw':
+        return optax.adamw(sched, weight_decay=cfg.weight_decay)
+    raise ValueError(f'Unknown optimizer {cfg.optimizer!r}')
+
+
+def create_train_state(cfg: Config, rng, variables: Optional[dict] = None,
+                       step: int = 0) -> TrainState:
+    model = Yolact(cfg=cfg, train_mode=True)
+    if variables is None:
+        dummy = jnp.zeros((1, cfg.img_size, cfg.img_size, 3), jnp.float32)
+        variables = model.init(rng, dummy, train=True)
+    state = TrainState.create(
+        apply_fn=model.apply,
+        params=variables['params'],
+        tx=make_optimizer(cfg),
+        batch_stats=variables.get('batch_stats'),
+    )
+    if step:
+        state = state.replace(step=step)
+    return state
+
+
+def make_train_step(cfg: Config, anchors):
+    """Build the jitted train step. `batch` is a dict of device arrays:
+    image [B,S,S,3], boxes [B,G,4], labels [B,G], valid [B,G],
+    masks_proto [B,G,S/4,S/4], masks_seg [B,G,S/8,S/8]."""
+    anchors = jnp.asarray(anchors)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch: dict, rng):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            outputs, mutated = state.apply_fn(
+                {'params': params, 'batch_stats': state.batch_stats},
+                batch['image'], train=True, mutable=['batch_stats'])
+            losses: LossBreakdown = compute_loss(cfg, outputs, batch, anchors, rng)
+            return losses.total, (losses, mutated)
+
+        grads, (losses, mutated) = jax.grad(loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(
+            grads=grads, batch_stats=mutated['batch_stats'])
+        return state, losses
+
+    return train_step
+
+
+def make_anchors_for(cfg: Config):
+    return box_ops.make_anchors(cfg.img_size, cfg.aspect_ratios, cfg.scales)
