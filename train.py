@@ -1,0 +1,193 @@
+#!/usr/bin/env python
+"""Training CLI.
+
+TPU-native rebuild of /root/reference/train.py: one jitted train step over a
+1-D data mesh (replacing DDP/NCCL), host data pipeline with threaded
+prefetch, per-10-step console/TensorBoard logging with ETA, in-training
+validation every --val_interval steps with best/latest checkpointing under
+the reference's filename contract, and Ctrl-C-safe save.
+"""
+from __future__ import annotations
+
+import argparse
+import datetime
+import time
+
+import numpy as np
+
+from yolact_minimal_tpu.config import cfg_name_from_weight, get_config
+from yolact_minimal_tpu.data.coco import COCODetection, TrainLoader
+from yolact_minimal_tpu.parallel.mesh import (is_main_process, make_mesh,
+                                              shard_batch)
+from yolact_minimal_tpu.pipeline import Detector
+from yolact_minimal_tpu.train_state import (create_train_state, lr_schedule,
+                                            make_anchors_for, make_train_step)
+from yolact_minimal_tpu.utils import timer
+from yolact_minimal_tpu.utils.checkpoint import (load_weights_auto, save_best,
+                                                 save_latest, step_from_name)
+
+
+def _tb_writer(cfg_name):
+    try:
+        from tensorboardX import SummaryWriter
+        return SummaryWriter(f'tensorboard_log/{cfg_name}')
+    except ImportError:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            return SummaryWriter(f'tensorboard_log/{cfg_name}')
+        except Exception:
+            return None
+
+
+def main():
+    import jax
+
+    parser = argparse.ArgumentParser(description='YOLACT-TPU Training')
+    parser.add_argument('--cfg', default='res101_coco')
+    parser.add_argument('--train_bs', type=int, default=8,
+                        help='Global training batch size (split over devices).')
+    parser.add_argument('--img_size', type=int, default=544)
+    parser.add_argument('--resume', default=None, type=str)
+    parser.add_argument('--val_interval', type=int, default=4000)
+    parser.add_argument('--val_num', type=int, default=-1)
+    parser.add_argument('--coco_api', action='store_true')
+    parser.add_argument('--traditional_nms', action='store_true')
+    parser.add_argument('--num_workers', type=int, default=8)
+    parser.add_argument('--compute_dtype', default='float32',
+                        choices=['float32', 'bfloat16'])
+    parser.add_argument('--max_steps', type=int, default=-1,
+                        help='Stop early after this many steps (debug).')
+    args = parser.parse_args()
+
+    cfg = get_config(args.cfg, mode='train', img_size=args.img_size,
+                     train_bs=args.train_bs, val_interval=args.val_interval,
+                     val_num=args.val_num, coco_api=args.coco_api,
+                     compute_dtype=args.compute_dtype,
+                     traditional_nms=args.traditional_nms)
+    main_proc = is_main_process()
+    if main_proc:
+        cfg.print_cfg()
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    assert cfg.train_bs % n_dev == 0, \
+        f'train_bs {cfg.train_bs} must divide over {n_dev} devices.'
+
+    rng = jax.random.PRNGKey(0)
+    anchors = make_anchors_for(cfg)
+
+    start_step = 0
+    variables = None
+    if args.resume:
+        assert args.cfg in args.resume, \
+            'Resume weight is not compatible with current cfg.'
+        variables = load_weights_auto(args.resume, include_semantic=True)
+        start_step = step_from_name(args.resume)
+        print(f'Resumed from {args.resume} at step {start_step}.')
+    state = create_train_state(cfg, rng, variables=variables, step=start_step)
+    if main_proc:
+        n_params = sum(int(np.prod(p.shape))
+                       for p in jax.tree.leaves(state.params))
+        print(f'Number of all parameters: {n_params}\n')
+
+    dataset = COCODetection(cfg, mode='train')
+    loader = TrainLoader(dataset, cfg, batch_size=cfg.train_bs,
+                         num_workers=args.num_workers, seed=0,
+                         process_index=jax.process_index(),
+                         process_count=jax.process_count())
+    train_step = make_train_step(cfg, anchors)
+    sched = lr_schedule(cfg)
+    writer = _tb_writer(cfg.name) if main_proc else None
+
+    step = start_step
+    end_step = cfg.lr_steps[-1] if args.max_steps < 0 \
+        else min(cfg.lr_steps[-1], start_step + args.max_steps)
+    map_tables = []
+    timer.reset()
+    training, val_step, time_last = True, start_step, None
+    data_rng = jax.random.PRNGKey(1)
+
+    def run_validation(step):
+        val_cfg = cfg.replace(mode='val')
+        host_vars = {'params': jax.device_get(state.params),
+                     'batch_stats': jax.device_get(state.batch_stats)}
+        detector = Detector(val_cfg, host_vars)
+        from eval import evaluate
+        table, box_row, mask_row = evaluate(detector, val_cfg, step=step,
+                                            max_images=cfg.val_num)
+        if table is not None:
+            map_tables.append(table)
+            if writer:
+                writer.add_scalar('mAP/box_map', box_row[1], global_step=step)
+                writer.add_scalar('mAP/mask_map', mask_row[1], global_step=step)
+            save_best({'params': host_vars['params'],
+                       'batch_stats': host_vars['batch_stats']},
+                      mask_row[1], cfg.name, step)
+
+    try:
+        with mesh:
+            while training:
+                for batch in loader:
+                    batch = shard_batch(batch, mesh)
+                    with timer.counter('step'):
+                        state, losses = train_step(state, batch, data_rng)
+                    l_total = losses.total  # keep async; fence in logging
+
+                    now = time.time()
+                    if step > start_step and time_last is not None:
+                        timer.add_batch_time(now - time_last)
+                    time_last = now
+
+                    if step % 10 == 0 and step != start_step and main_proc:
+                        jax.block_until_ready(l_total)
+                        l_c, l_b, l_m, l_s = (float(losses.loss_c), float(losses.loss_b),
+                                              float(losses.loss_m), float(losses.loss_s))
+                        cur_lr = float(sched(step))
+                        t_t, t_d, t_s = timer.get_times(['batch', 'data', 'step'])
+                        eta = str(datetime.timedelta(
+                            seconds=int((end_step - step) * max(t_t, 1e-9))))
+                        if writer:
+                            writer.add_scalar('loss/class', l_c, global_step=step)
+                            writer.add_scalar('loss/box', l_b, global_step=step)
+                            writer.add_scalar('loss/mask', l_m, global_step=step)
+                            writer.add_scalar('loss/semantic', l_s, global_step=step)
+                            writer.add_scalar('loss/total',
+                                              l_c + l_b + l_m + l_s, global_step=step)
+                        print(f'step: {step} | lr: {cur_lr:.2e} | l_class: {l_c:.3f} | '
+                              f'l_box: {l_b:.3f} | l_mask: {l_m:.3f} | '
+                              f'l_semantic: {l_s:.3f} | t_t: {t_t:.3f} | '
+                              f't_d: {t_d:.3f} | t_step: {t_s:.3f} | ETA: {eta}')
+
+                    if (cfg.val_interval > 0 and step % cfg.val_interval == 0
+                            and step != start_step and main_proc):
+                        val_step = step
+                        run_validation(step)
+                        timer.reset()
+
+                    if main_proc and step == val_step + 1:
+                        timer.start()
+
+                    step += 1
+                    if step >= end_step:
+                        training = False
+                        if main_proc:
+                            save_latest({'params': jax.device_get(state.params),
+                                         'batch_stats': jax.device_get(state.batch_stats)},
+                                        cfg.name, step)
+                            print('\nValidation results during training:\n')
+                            for t in map_tables:
+                                print(t, '\n')
+                            print('Training completed.')
+                        break
+    except KeyboardInterrupt:
+        if main_proc:
+            save_latest({'params': jax.device_get(state.params),
+                         'batch_stats': jax.device_get(state.batch_stats)},
+                        cfg.name, step)
+            print('\nValidation results during training:\n')
+            for t in map_tables:
+                print(t, '\n')
+
+
+if __name__ == '__main__':
+    main()

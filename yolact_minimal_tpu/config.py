@@ -175,8 +175,8 @@ def _custom_overrides():
         continuous_id={i + 1: i + 1 for i in range(len(CUSTOM_CLASSES))},
         warmup_until=100,
         base_lr_steps=(0, 1200, 1600, 2000),
-        train_imgs='custom_dataset/', train_ann='custom_dataset/custom_ann.json',
-        val_imgs='custom_dataset/', val_ann='custom_dataset/custom_ann.json',
+        train_imgs='custom_dataset/images', train_ann='custom_dataset/annotations.json',
+        val_imgs='custom_dataset/images', val_ann='custom_dataset/annotations.json',
     )
 
 

@@ -1,0 +1,115 @@
+"""High-level inference pipeline: jitted forward + on-device postprocess.
+
+The device side (backbone -> FPN -> heads -> decode -> fast-NMS -> lincomb
+mask assembly at prototype resolution) is one fixed-shape jitted graph with
+zero host sync — the TPU-native replacement for the reference's
+eval/detect hot path (eval.py:45-52, detect.py:70-78). The host side only
+upsamples the few valid masks to the original image size (cv2, matching the
+reference's align_corners=False interpolate + 0.5 binarize) and converts
+boxes to pixels.
+
+For fixed-size outputs (video, benchmarking) `detect_fixed` keeps even the
+upsample+binarize on device.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolact_minimal_tpu.config import Config
+from yolact_minimal_tpu.models.yolact import Yolact
+from yolact_minimal_tpu.ops.boxes import make_anchors
+from yolact_minimal_tpu.ops.nms import (Detections, assemble_masks,
+                                        detect_postprocess_batch,
+                                        finalize_masks_fixed)
+
+
+class Detector:
+    """Wraps a config + variables into jitted detect functions."""
+
+    def __init__(self, cfg: Config, variables: dict):
+        self.cfg = cfg
+        self.model = Yolact(cfg=cfg, train_mode=False)
+        # Pin weights on device once — passing host numpy through jit would
+        # re-upload the full parameter set on every call.
+        self.variables = jax.device_put({
+            'params': variables['params'],
+            'batch_stats': variables.get('batch_stats', {})})
+        self.anchors = jnp.asarray(make_anchors(cfg.img_size, cfg.aspect_ratios,
+                                                cfg.scales))
+
+        @jax.jit
+        def _infer(variables, images):
+            class_p, box_p, coef_p, proto = self.model.apply(variables, images,
+                                                             train=False)
+            dets = detect_postprocess_batch(
+                class_p, box_p, coef_p, self.anchors, cfg.nms_score_thre,
+                cfg.nms_iou_thre, cfg.top_k, cfg.max_detections)
+            masks_proto = jax.vmap(
+                functools.partial(assemble_masks, do_crop=not cfg.no_crop)
+            )(proto, dets)
+            return dets, masks_proto, proto
+
+        self._infer = _infer
+
+        @functools.partial(jax.jit, static_argnums=(2,))
+        def _infer_fixed(variables, images, out_size):
+            dets, masks_proto, _ = _infer(variables, images)
+            masks = jax.vmap(lambda m: finalize_masks_fixed(m, out_size))(masks_proto)
+            return dets, masks
+
+        self._infer_fixed = _infer_fixed
+
+    def __call__(self, images: jnp.ndarray):
+        """images [B, S, S, 3] normalized RGB -> (Detections, masks_proto
+        [B, ph, pw, D], proto [B, ph, pw, 32]), all on device."""
+        return self._infer(self.variables, images)
+
+    def detect_fixed(self, images: jnp.ndarray, out_size: int):
+        """Fully on-device detect with square binarized masks [B, D, S, S]."""
+        return self._infer_fixed(self.variables, images, out_size)
+
+    def postprocess_host(self, dets: Detections, masks_proto, img_h: int,
+                         img_w: int, visual_thre: Optional[float] = None
+                         ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Reference after_nms host tail (output_utils.py:200-233) for ONE
+        image: filter by visual threshold, upsample masks to the original
+        size, binarize, slice the padded square, scale boxes to pixels."""
+        valid = np.asarray(dets.valid)
+        scores = np.asarray(dets.scores)
+        keep = valid if visual_thre is None else valid & (scores >= visual_thre)
+        if not keep.any():
+            return (np.zeros(0, np.int32), np.zeros(0, np.float32),
+                    np.zeros((0, 4), np.int32),
+                    np.zeros((0, img_h, img_w), bool))
+
+        ids = np.asarray(dets.ids)[keep]
+        scores = scores[keep]
+        boxes = np.asarray(dets.boxes)[keep]
+        masks = np.asarray(masks_proto)[:, :, keep]          # [ph, pw, K]
+
+        ori = max(img_h, img_w)
+        up = cv2.resize(masks, (ori, ori), interpolation=cv2.INTER_LINEAR)
+        if up.ndim == 2:
+            up = up[:, :, None]
+        up = np.transpose(up, (2, 0, 1)) > 0.5
+        up = up[:, :img_h, :] if img_h < img_w else up[:, :, :img_w]
+
+        boxes = (boxes * ori).astype(np.int32)
+        return ids, scores, boxes, up
+
+
+def load_detector(weight_path: str, cfg: Optional[Config] = None) -> Detector:
+    """Build a Detector from a checkpoint file, recovering the config from
+    the filename when not given (reference detect.py:38-41)."""
+    from yolact_minimal_tpu.config import cfg_name_from_weight, get_config
+    from yolact_minimal_tpu.utils.checkpoint import load_weights_auto
+    if cfg is None:
+        cfg = get_config(cfg_name_from_weight(weight_path), mode='detect')
+    variables = load_weights_auto(weight_path, include_semantic=False)
+    return Detector(cfg, variables)
