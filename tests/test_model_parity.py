@@ -35,13 +35,16 @@ def _make_ref_net(name):
     return net
 
 
-@pytest.mark.parametrize('name', ['res50_parity'])
-def test_forward_parity_resnet(rng, name):
+@pytest.mark.parametrize('name,our_cfg', [
+    ('res50_parity', 'res50_coco'),
+    ('swin_tiny_parity', 'swin_tiny_coco'),
+])
+def test_forward_parity_resnet(rng, name, our_cfg):
     import torch
     ref = _make_ref_net(name)
     state = {k: v.numpy() for k, v in ref.state_dict().items()}
 
-    cfg = get_config('res50_coco', mode='val', img_size=IMG)
+    cfg = get_config(our_cfg, mode='val', img_size=IMG)
     variables = convert_state_dict(state)
     model = Yolact(cfg=cfg, train_mode=False)
 
@@ -51,7 +54,8 @@ def test_forward_parity_resnet(rng, name):
 
     x = jnp.asarray(np.transpose(img, (0, 2, 3, 1)))  # NCHW -> NHWC
     j_class, j_box, j_coef, j_proto = model.apply(
-        {'params': variables['params'], 'batch_stats': variables['batch_stats']},
+        {'params': variables['params'],
+         'batch_stats': variables.get('batch_stats', {})},
         x, train=False)
 
     a = num_anchors(IMG)

@@ -1,0 +1,265 @@
+"""Swin-Tiny backbone, NHWC, flax.linen — TPU-first rebuild of
+/root/reference/modules/swin_transformer.py.
+
+Architecture: 4x4 patch embed (dim 96) + 4 stages of shifted-window attention
+blocks, depths (2,2,6,2), heads (3,6,12,24), window 7, MLP ratio 4,
+stochastic depth 0.2, patch merging between stages, LayerNorm on the three
+FPN-facing outputs (192/384/768 ch at strides 8/16/32).
+
+TPU-first differences from the reference:
+  * everything that is data-independent — window padding sizes, the shifted-
+    window attention mask (reference BasicLayer:368-387), and the relative-
+    position index (reference WindowAttention:153-164) — is precomputed
+    host-side as static numpy and baked into the graph as constants;
+  * tensors stay [B, H, W, C] NHWC end to end (no NCHW permutes);
+  * window partition/reverse are pure reshape+transpose, and the per-window
+    attention is one batched einsum chain XLA maps onto the MXU.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+WINDOW = 7
+
+
+@functools.lru_cache(maxsize=None)
+def relative_position_index(window: int = WINDOW) -> np.ndarray:
+    """[N, N] indices into the (2w-1)^2 bias table for every token pair."""
+    coords = np.stack(np.meshgrid(np.arange(window), np.arange(window),
+                                  indexing='ij'))          # [2, w, w]
+    flat = coords.reshape(2, -1)                            # [2, N]
+    rel = flat[:, :, None] - flat[:, None, :]               # [2, N, N]
+    rel = rel.transpose(1, 2, 0)
+    rel[:, :, 0] += window - 1
+    rel[:, :, 1] += window - 1
+    rel[:, :, 0] *= 2 * window - 1
+    return rel.sum(-1).astype(np.int32)                     # [N, N]
+
+
+@functools.lru_cache(maxsize=None)
+def shifted_window_mask(hp: int, wp: int, window: int = WINDOW,
+                        shift: int = WINDOW // 2) -> np.ndarray:
+    """Static [nW, N, N] additive mask (0 / -100) hiding cross-region pairs
+    in shifted windows. hp/wp are the padded feature sizes."""
+    img = np.zeros((hp, wp), np.int32)
+    cnt = 0
+    for hs in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
+        for ws in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
+            img[hs, ws] = cnt
+            cnt += 1
+    # partition into windows
+    img = img.reshape(hp // window, window, wp // window, window)
+    img = img.transpose(0, 2, 1, 3).reshape(-1, window * window)   # [nW, N]
+    diff = img[:, None, :] != img[:, :, None]
+    return np.where(diff, -100.0, 0.0).astype(np.float32)
+
+
+def window_partition(x: jnp.ndarray, window: int) -> jnp.ndarray:
+    """[B, H, W, C] -> [B * nW, window*window, C]."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // window, window, w // window, window, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, window * window, c)
+
+
+def window_reverse(x: jnp.ndarray, window: int, h: int, w: int) -> jnp.ndarray:
+    """[B * nW, window*window, C] -> [B, H, W, C]."""
+    c = x.shape[-1]
+    b = x.shape[0] // ((h // window) * (w // window))
+    x = x.reshape(b, h // window, w // window, window, window, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h, w, c)
+
+
+class WindowAttention(nn.Module):
+    """Per-window MHA with relative position bias (reference
+    WindowAttention:131-200)."""
+    dim: int
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jnp.ndarray]):
+        bnw, n, c = x.shape
+        heads, hd = self.num_heads, self.dim // self.num_heads
+
+        table = self.param(
+            'rel_bias_table', nn.initializers.truncated_normal(0.02),
+            ((2 * WINDOW - 1) ** 2, heads), jnp.float32)
+        idx = jnp.asarray(relative_position_index())
+        bias = table[idx.reshape(-1)].reshape(n, n, heads)
+        bias = bias.transpose(2, 0, 1).astype(self.dtype)    # [heads, N, N]
+
+        qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name='qkv')(x)
+        qkv = qkv.reshape(bnw, n, 3, heads, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]                     # [bnw, heads, N, hd]
+
+        attn = jnp.einsum('bhnd,bhmd->bhnm', q * (hd ** -0.5), k,
+                          preferred_element_type=jnp.float32)
+        attn = attn + bias[None].astype(attn.dtype)
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.reshape(bnw // nw, nw, heads, n, n)
+            attn = attn + mask[None, :, None].astype(attn.dtype)
+            attn = attn.reshape(bnw, heads, n, n)
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+
+        out = jnp.einsum('bhnm,bhmd->bhnd', attn, v,
+                         preferred_element_type=jnp.float32).astype(self.dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(bnw, n, c)
+        return nn.Dense(self.dim, dtype=self.dtype, name='proj')(out)
+
+
+class Mlp(nn.Module):
+    dim: int
+    hidden: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, dtype=self.dtype, name='fc1')(x)
+        x = nn.gelu(x, approximate=False)
+        return nn.Dense(self.dim, dtype=self.dtype, name='fc2')(x)
+
+
+def drop_path(x, rate: float, deterministic: bool, rng) -> jnp.ndarray:
+    """Per-sample stochastic depth (reference DropPath:62-80)."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jnp.floor(keep + jax.random.uniform(rng, shape, x.dtype))
+    return x / keep * mask
+
+
+class SwinBlock(nn.Module):
+    """W-MSA / SW-MSA block (reference SwinTransformerBlock:203-289).
+    Operates on NHWC; padding + masks are static for the config img_size."""
+    dim: int
+    num_heads: int
+    shift: int
+    drop_path_rate: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        shortcut = x
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name='norm1')(x)
+
+        pad_b = (WINDOW - h % WINDOW) % WINDOW
+        pad_r = (WINDOW - w % WINDOW) % WINDOW
+        if pad_b or pad_r:
+            x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        hp, wp = h + pad_b, w + pad_r
+
+        if self.shift > 0:
+            x = jnp.roll(x, (-self.shift, -self.shift), axis=(1, 2))
+            mask = jnp.asarray(shifted_window_mask(hp, wp))
+        else:
+            mask = None
+
+        windows = window_partition(x, WINDOW)
+        attended = WindowAttention(self.dim, self.num_heads, dtype=self.dtype,
+                                   name='attn')(windows, mask)
+        x = window_reverse(attended, WINDOW, hp, wp)
+
+        if self.shift > 0:
+            x = jnp.roll(x, (self.shift, self.shift), axis=(1, 2))
+        if pad_b or pad_r:
+            x = x[:, :h, :w, :]
+
+        det = not train
+        rng1 = self.make_rng('dropout') if (train and self.drop_path_rate > 0) else None
+        x = shortcut + drop_path(x, self.drop_path_rate, det, rng1)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name='norm2')(x)
+        y = Mlp(self.dim, self.dim * 4, dtype=self.dtype, name='mlp')(y)
+        rng2 = self.make_rng('dropout') if (train and self.drop_path_rate > 0) else None
+        return x + drop_path(y, self.drop_path_rate, det, rng2)
+
+
+class PatchMerging(nn.Module):
+    """2x2 spatial concat -> LayerNorm -> Linear 4C->2C (reference
+    PatchMerging:292-325; concat order x0,x1,x2,x3 preserved for checkpoint
+    compatibility)."""
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        if h % 2 or w % 2:
+            x = jnp.pad(x, ((0, 0), (0, h % 2), (0, w % 2), (0, 0)))
+        x0 = x[:, 0::2, 0::2]
+        x1 = x[:, 1::2, 0::2]
+        x2 = x[:, 0::2, 1::2]
+        x3 = x[:, 1::2, 1::2]
+        x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name='norm')(x)
+        return nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype,
+                        name='reduction')(x)
+
+
+class SwinStage(nn.Module):
+    dim: int
+    depth: int
+    num_heads: int
+    drop_path_rates: Sequence[float]
+    downsample: bool
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i in range(self.depth):
+            x = SwinBlock(self.dim, self.num_heads,
+                          shift=0 if i % 2 == 0 else WINDOW // 2,
+                          drop_path_rate=self.drop_path_rates[i],
+                          dtype=self.dtype, name=f'block{i}')(x, train=train)
+        down = PatchMerging(self.dim, dtype=self.dtype,
+                            name='downsample')(x) if self.downsample else x
+        return x, down
+
+
+class SwinTiny(nn.Module):
+    """Returns 4 NHWC feature maps (96, 192, 384, 768 ch at strides
+    4/8/16/32); outputs 1-3 are LayerNormed (reference norm1..3,
+    swin_transformer.py:482-484, 511-513)."""
+    embed_dim: int = 96
+    depths: Tuple[int, ...] = (2, 2, 6, 2)
+    num_heads: Tuple[int, ...] = (3, 6, 12, 24)
+    drop_path_rate: float = 0.2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, _ = x.shape
+        pad_b = (4 - h % 4) % 4
+        pad_r = (4 - w % 4) % 4
+        if pad_b or pad_r:
+            x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        x = nn.Conv(self.embed_dim, (4, 4), strides=(4, 4), padding='VALID',
+                    dtype=self.dtype, name='patch_embed')(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name='patch_norm')(x)
+
+        dpr = np.linspace(0, self.drop_path_rate, sum(self.depths)).tolist()
+        outs = []
+        off = 0
+        for i, depth in enumerate(self.depths):
+            dim = self.embed_dim * (2 ** i)
+            x_out, x = SwinStage(
+                dim=dim, depth=depth, num_heads=self.num_heads[i],
+                drop_path_rates=tuple(dpr[off:off + depth]),
+                downsample=(i < len(self.depths) - 1),
+                dtype=self.dtype, name=f'stage{i}')(x, train=train)
+            off += depth
+            if i in (1, 2, 3):
+                x_out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                     name=f'out_norm{i}')(x_out)
+            outs.append(x_out)
+        return tuple(outs)

@@ -105,12 +105,13 @@ def convert_state_dict(state_dict: Dict[str, 'np.ndarray'],
     {'params': ..., 'batch_stats': ...} matching models/yolact.py."""
     params: dict = {}
     stats: dict = {}
+    is_swin = any('.blocks.' in k for k in state_dict)
     for key, value in state_dict.items():
         if key.endswith('num_batches_tracked'):
             continue
         if key.startswith('backbone.'):
             rest = key[len('backbone.'):]
-            if rest.startswith('swin.') or '.attn.' in rest or 'patch_embed' in rest:
+            if is_swin:
                 _convert_swin_entry(rest, value, params, stats, ('backbone',))
             else:
                 _convert_resnet_entry(rest, value, params, stats, ('backbone',))
