@@ -80,9 +80,10 @@ def evaluate(detector: Detector, cfg, step=None, max_images: int = -1):
     print()
     if cfg.coco_api:
         make_json.dump()
-        print("Json files dumped, saved in: 'results/'. Use pycocotools "
-              'COCOeval externally, or rerun without --coco_api for the '
-              'built-in evaluator.')
+        print("Json files dumped, saved in: 'results/', start evaluating.")
+        from yolact_minimal_tpu.utils.cocoeval import evaluate_detections
+        evaluate_detections(cfg.val_ann, 'results/bbox_detections.json',
+                            'results/mask_detections.json')
         return None, None, None
 
     table, box_row, mask_row = calc_map(ap_data, len(cfg.class_names), step=step)

@@ -1,0 +1,31 @@
+#!/usr/bin/env python
+"""Export CLI: checkpoint -> standalone AOT inference artifact (.jexport).
+
+The TPU-native analog of /root/reference/export2onnx.py (incl. its immediate
+torch-vs-runtime parity check, export2onnx.py:36-46).
+"""
+import argparse
+
+from yolact_minimal_tpu.config import cfg_name_from_weight, get_config
+from yolact_minimal_tpu.deploy import export_model
+from yolact_minimal_tpu.utils.checkpoint import load_weights_auto
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--weight', type=str, required=True)
+    p.add_argument('--img_size', type=int, default=544)
+    p.add_argument('--out', type=str, default=None)
+    p.add_argument('--cfg', type=str, default=None)
+    args = p.parse_args()
+
+    name = args.cfg or cfg_name_from_weight(args.weight)
+    cfg = get_config(name, mode='val', img_size=args.img_size)
+    variables = load_weights_auto(args.weight, include_semantic=False)
+    out = args.out or args.weight.rsplit('.', 1)[0] + '.jexport'
+    export_model(cfg, variables, out)
+    print(f'Exported to {out}')
+
+
+if __name__ == '__main__':
+    main()

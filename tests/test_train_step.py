@@ -62,16 +62,15 @@ def test_train_step_runs_and_overfits(setup):
     rng = jax.random.PRNGKey(42)
 
     batch = jax.tree.map(jnp.asarray, batch)
-    losses_first = losses_last = None
-    for i in range(12):
+    history = []
+    for i in range(24):
         state, losses = step_fn(state, batch, rng)
         vals = jax.tree.map(float, losses)
         assert all(np.isfinite(v) for v in vals), f'non-finite loss at {i}: {vals}'
-        if i == 0:
-            losses_first = vals
-        losses_last = vals
-    assert losses_last.total < losses_first.total, \
-        f'no overfit: {losses_first.total} -> {losses_last.total}'
+        history.append(vals.total)
+    # repeated steps on one batch must reduce the loss (warmup LR is tiny at
+    # the start, so compare windows rather than endpoints)
+    assert np.mean(history[-4:]) < np.mean(history[:4]), f'no overfit: {history}'
 
 
 def test_train_step_multichip(setup):

@@ -26,6 +26,7 @@ class Bottleneck(nn.Module):
     def __call__(self, x, train: bool = False):
         conv = lambda f, k, s, p, name: nn.Conv(
             f, (k, k), strides=(s, s), padding=((p, p), (p, p)), use_bias=False,
+            kernel_init=nn.initializers.xavier_uniform(),
             dtype=self.dtype, name=name)
         bn = lambda name: nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
@@ -55,7 +56,8 @@ class ResNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, ...]:
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                    use_bias=False, dtype=self.dtype, name='conv1')(x)
+                    use_bias=False, kernel_init=nn.initializers.xavier_uniform(),
+                    dtype=self.dtype, name='conv1')(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name='bn1')(x)
         x = nn.relu(x)

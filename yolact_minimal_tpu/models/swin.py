@@ -26,6 +26,9 @@ import jax.numpy as jnp
 import numpy as np
 
 WINDOW = 7
+# Reference inits Linear weights with trunc_normal(std=.02), zero bias
+# (swin_transformer.py:487-494).
+_dense_init = nn.initializers.truncated_normal(0.02)
 
 
 @functools.lru_cache(maxsize=None)
@@ -96,7 +99,7 @@ class WindowAttention(nn.Module):
         bias = table[idx.reshape(-1)].reshape(n, n, heads)
         bias = bias.transpose(2, 0, 1).astype(self.dtype)    # [heads, N, N]
 
-        qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name='qkv')(x)
+        qkv = nn.Dense(3 * self.dim, kernel_init=_dense_init, dtype=self.dtype, name='qkv')(x)
         qkv = qkv.reshape(bnw, n, 3, heads, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]                     # [bnw, heads, N, hd]
 
@@ -113,7 +116,7 @@ class WindowAttention(nn.Module):
         out = jnp.einsum('bhnm,bhmd->bhnd', attn, v,
                          preferred_element_type=jnp.float32).astype(self.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(bnw, n, c)
-        return nn.Dense(self.dim, dtype=self.dtype, name='proj')(out)
+        return nn.Dense(self.dim, kernel_init=_dense_init, dtype=self.dtype, name='proj')(out)
 
 
 class Mlp(nn.Module):
@@ -123,9 +126,9 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.hidden, dtype=self.dtype, name='fc1')(x)
+        x = nn.Dense(self.hidden, kernel_init=_dense_init, dtype=self.dtype, name='fc1')(x)
         x = nn.gelu(x, approximate=False)
-        return nn.Dense(self.dim, dtype=self.dtype, name='fc2')(x)
+        return nn.Dense(self.dim, kernel_init=_dense_init, dtype=self.dtype, name='fc2')(x)
 
 
 def drop_path(x, rate: float, deterministic: bool, rng) -> jnp.ndarray:
@@ -202,8 +205,8 @@ class PatchMerging(nn.Module):
         x3 = x[:, 1::2, 1::2]
         x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name='norm')(x)
-        return nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype,
-                        name='reduction')(x)
+        return nn.Dense(2 * self.dim, use_bias=False, kernel_init=_dense_init,
+                        dtype=self.dtype, name='reduction')(x)
 
 
 class SwinStage(nn.Module):

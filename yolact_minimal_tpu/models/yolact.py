@@ -13,6 +13,9 @@ import math
 from typing import Tuple
 
 import flax.linen as nn
+
+# Reference inits every conv with Xavier-uniform + zero bias (yolact.py:120-125).
+_conv_init = nn.initializers.xavier_uniform()
 import jax.numpy as jnp
 
 from yolact_minimal_tpu.config import Config
@@ -30,10 +33,10 @@ class FPN(nn.Module):
 
     @nn.compact
     def __call__(self, c3, c4, c5):
-        lat = lambda name: nn.Conv(256, (1, 1), dtype=self.dtype, name=name)
-        pred = lambda name: nn.Conv(256, (3, 3), padding=((1, 1), (1, 1)),
+        lat = lambda name: nn.Conv(256, (1, 1), kernel_init=_conv_init, dtype=self.dtype, name=name)
+        pred = lambda name: nn.Conv(256, (3, 3), padding=((1, 1), (1, 1)), kernel_init=_conv_init,
                                     dtype=self.dtype, name=name)
-        down = lambda name: nn.Conv(256, (3, 3), strides=(2, 2),
+        down = lambda name: nn.Conv(256, (3, 3), strides=(2, 2), kernel_init=_conv_init,
                                     padding=((1, 1), (1, 1)), dtype=self.dtype, name=name)
 
         p5_1 = lat('lat5')(c5)
@@ -59,12 +62,12 @@ class ProtoNet(nn.Module):
     @nn.compact
     def __call__(self, x):
         c3 = lambda name: nn.Conv(256, (3, 3), padding=((1, 1), (1, 1)),
-                                  dtype=self.dtype, name=name)
+                                  kernel_init=_conv_init, dtype=self.dtype, name=name)
         for i in range(3):
             x = nn.relu(c3(f'proto1_{i}')(x))
         x = resize_bilinear(x, x.shape[-3] * 2, x.shape[-2] * 2, align_corners=True)
         x = nn.relu(c3('proto2_0')(x))
-        x = nn.relu(nn.Conv(COEF_DIM, (1, 1), dtype=self.dtype, name='proto2_1')(x))
+        x = nn.relu(nn.Conv(COEF_DIM, (1, 1), kernel_init=_conv_init, dtype=self.dtype, name='proto2_1')(x))
         return x
 
 
@@ -79,7 +82,7 @@ class PredictionHead(nn.Module):
     @nn.compact
     def __call__(self, x):
         conv = lambda f, name: nn.Conv(f, (3, 3), padding=((1, 1), (1, 1)),
-                                       dtype=self.dtype, name=name)
+                                       kernel_init=_conv_init, dtype=self.dtype, name=name)
         b = x.shape[0]
         x = nn.relu(conv(256, 'upfeature')(x))
         conf = conv(self.num_ratios * self.num_classes, 'conf_layer')(x)
@@ -140,6 +143,7 @@ class Yolact(nn.Module):
 
         if self.train_mode:
             seg_pred = nn.Conv(self.cfg.num_classes - 1, (1, 1), dtype=dtype,
+                               kernel_init=_conv_init,
                                name='semantic_seg_conv')(p3).astype(jnp.float32)
             return class_pred, box_pred, coef_pred, proto, seg_pred
         return nn.softmax(class_pred, axis=-1), box_pred, coef_pred, proto

@@ -42,8 +42,12 @@ class LossBreakdown(NamedTuple):
 
 
 def _log_clamped(x):
-    # torch's binary_cross_entropy clamps log terms at -100.
-    return jnp.maximum(jnp.log(x), -100.0)
+    """log(x) clamped at -100 (torch binary_cross_entropy semantics) with a
+    SAFE gradient at x == 0. crop() zeroes mask_p exactly outside the gt box,
+    and a naive `maximum(log(x), -100)` there yields grad 0 * inf = NaN,
+    which poisons the whole parameter tree after one update."""
+    safe = jnp.log(jnp.maximum(x, 1e-30))
+    return jnp.where(x > 0, jnp.maximum(safe, -100.0), -100.0)
 
 
 def category_loss(class_p: jnp.ndarray, conf_gt: jnp.ndarray,
@@ -90,7 +94,7 @@ def _lincomb_single(proto, coef_p, pos, anchor_max_i, anchor_max_gt,
     # "all positives if <= K, else a uniform random K-subset" — matching the
     # reference randperm subsample (yolact.py:261-267).
     priority = jnp.where(pos, jax.random.uniform(rng, pos.shape), -jnp.inf)
-    _, sel = jax.lax.top_k(priority, masks_to_train)               # [K]
+    _, sel = jax.lax.top_k(priority, min(masks_to_train, pos.shape[0]))   # [K]
     sel_valid = pos[sel]                                           # [K]
 
     sel_coef = coef_p[sel]                                         # [K, 32]

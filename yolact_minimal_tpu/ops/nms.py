@@ -74,9 +74,16 @@ def detect_postprocess(class_pred: jnp.ndarray, box_pred: jnp.ndarray,
     """Decode + threshold + fast-NMS for ONE image (reference nms(),
     output_utils.py:126-163). Inputs are the model's eval outputs with the
     batch dim removed: class_pred [A, C] (softmaxed), box_pred [A, 4],
-    coef_pred [A, 32]."""
+    coef_pred [A, 32].
+
+    The threshold is on the max-over-classes score (reference
+    output_utils.py:140-144): an anchor that passes for ANY class keeps its
+    full per-class score column in the sort — sub-threshold per-class scores
+    can survive NMS and reach the global top-k, exactly as in the reference.
+    """
     scores = class_pred[:, 1:].T                            # [C-1, A], drop bg
-    score_mask = scores > score_thre
+    keep = jnp.max(scores, axis=0) > score_thre             # [A]
+    score_mask = jnp.broadcast_to(keep[None, :], scores.shape)
     boxes = decode(box_pred, anchors, clip=True)
     return fast_nms(boxes, coef_pred, scores, score_mask,
                     top_k, iou_thre, max_detections)
