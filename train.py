@@ -107,11 +107,18 @@ def main():
     training, val_step, time_last = True, start_step, None
     data_rng = jax.random.PRNGKey(1)
 
+    detector_cache = {}
+
     def run_validation(step):
         val_cfg = cfg.replace(mode='val')
         host_vars = {'params': jax.device_get(state.params),
                      'batch_stats': jax.device_get(state.batch_stats)}
-        detector = Detector(val_cfg, host_vars)
+        # build the jitted detector once; later rounds only swap weights
+        if 'det' not in detector_cache:
+            detector_cache['det'] = Detector(val_cfg, host_vars)
+        else:
+            detector_cache['det'].update_variables(host_vars)
+        detector = detector_cache['det']
         from eval import evaluate
         table, box_row, mask_row = evaluate(detector, val_cfg, step=step,
                                             max_images=cfg.val_num)
@@ -129,9 +136,13 @@ def main():
             while training:
                 for batch in loader:
                     batch = shard_batch(batch, mesh)
-                    with timer.counter('step'):
+                    # fence on the loss so 'step' reports device time, not
+                    # dispatch time (the analog of the reference's
+                    # cuda.synchronize-bracketed sections, timer.py:65-74)
+                    with timer.counter('step',
+                                       fence=lambda: losses.total):
                         state, losses = train_step(state, batch, data_rng)
-                    l_total = losses.total  # keep async; fence in logging
+                    l_total = losses.total
 
                     now = time.time()
                     if step > start_step and time_last is not None:
@@ -142,6 +153,16 @@ def main():
                         jax.block_until_ready(l_total)
                         l_c, l_b, l_m, l_s = (float(losses.loss_c), float(losses.loss_b),
                                               float(losses.loss_m), float(losses.loss_s))
+                        # failure detection: a non-finite loss means poisoned
+                        # params — save a post-mortem checkpoint and abort
+                        # instead of burning the rest of the schedule.
+                        if not np.isfinite(l_c + l_b + l_m + l_s):
+                            save_latest({'params': jax.device_get(state.params),
+                                         'batch_stats': jax.device_get(state.batch_stats)},
+                                        cfg.name + '_nan', step)
+                            raise FloatingPointError(
+                                f'Non-finite loss at step {step}: '
+                                f'c={l_c} b={l_b} m={l_m} s={l_s}')
                         cur_lr = float(sched(step))
                         t_t, t_d, t_s = timer.get_times(['batch', 'data', 'step'])
                         eta = str(datetime.timedelta(

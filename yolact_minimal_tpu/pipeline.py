@@ -65,6 +65,13 @@ class Detector:
 
         self._infer_fixed = _infer_fixed
 
+    def update_variables(self, variables: dict):
+        """Swap in new weights without retracing the jitted graphs (used by
+        in-training validation so each val round reuses the compiled fns)."""
+        self.variables = jax.device_put({
+            'params': variables['params'],
+            'batch_stats': variables.get('batch_stats', {})})
+
     def __call__(self, images: jnp.ndarray):
         """images [B, S, S, 3] normalized RGB -> (Detections, masks_proto
         [B, ph, pw, D], proto [B, ph, pw, 32]), all on device."""
