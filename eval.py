@@ -35,11 +35,18 @@ def evaluate(detector: Detector, cfg, step=None, max_images: int = -1):
     ap_data = make_ap_data(len(cfg.class_names))
     make_json = MakeJson(cfg.continuous_id) if cfg.coco_api else None
 
+    # prefetch the host-side decode/resize so cv2 overlaps device compute
+    from concurrent.futures import ThreadPoolExecutor
+    pool = ThreadPoolExecutor(2)
+    futures = [pool.submit(dataset.get_val, i) for i in range(min(n, 4))]
+
     last = None
     for i in range(n):
         if i == 1:
             timer.start()
-        item = dataset.get_val(i)
+        item = futures[i].result()
+        if len(futures) < n:
+            futures.append(pool.submit(dataset.get_val, len(futures)))
         img = jnp.asarray(item['image'])[None]
 
         with timer.counter('forward+nms', fence=lambda: last):
@@ -77,6 +84,7 @@ def evaluate(detector: Detector, cfg, step=None, max_images: int = -1):
                   f't_t: {t_t:.3f} | t_fwd_nms: {t_fn:.3f} | '
                   f't_after_nms: {t_an:.3f} | t_metric: {t_me:.3f}', end='')
 
+    pool.shutdown(wait=False)
     print()
     if cfg.coco_api:
         make_json.dump()

@@ -5,8 +5,9 @@ Host-side rebuild of /root/reference/utils/coco.py. Differences by design:
     are pre-downsampled (cv2 bilinear, the same align_corners=False sampling
     torch's F.interpolate uses) to prototype (S/4) and seg (S/8) resolutions,
     so the device sees only fixed-shape tensors;
-  * the DataLoader worker pool becomes a thread pool (cv2/numpy release the
-    GIL) with a bounded prefetch queue feeding the TPU;
+  * the DataLoader worker pool becomes a spawned process pool (cv2/numpy
+    augmentation is GIL-bound under threads) with a bounded in-flight window
+    feeding the TPU; a thread backend exists for tests;
   * DistributedSampler becomes per-process index sharding
     (`process_index::process_count`) + per-epoch shuffling.
 The None-retry protocol is kept: failed augmentations are repaired by
@@ -16,9 +17,9 @@ from __future__ import annotations
 
 import glob
 import os.path as osp
-import queue
+
 import random
-import threading
+
 from typing import Dict, Iterator, List, Optional
 
 import cv2
@@ -151,20 +152,41 @@ def assemble_train_batch(samples: List[dict], cfg: Config) -> Dict[str, np.ndarr
     return batch
 
 
+# --- loader worker-process globals (spawn initializer) -----------------------
+_worker_ds: Optional[COCODetection] = None
+_worker_cfg: Optional[Config] = None
+
+
+def _pool_init(cfg: Config):
+    global _worker_ds, _worker_cfg
+    _worker_cfg = cfg
+    _worker_ds = COCODetection(cfg, mode='train')
+
+
+def _pool_build(args):
+    indices, seed_key = args
+    rnd = random.Random(seed_key)
+    samples = [_worker_ds.get_train(int(i), rnd) for i in indices]
+    return assemble_train_batch(samples, _worker_cfg)
+
+
 class TrainLoader:
-    """Sharded, shuffled, threaded, prefetching train-batch iterator.
+    """Sharded, shuffled, prefetching train-batch iterator.
 
     Per epoch: indices are shuffled with a shared seed, sharded
-    process_index::process_count (DistributedSampler analog,
-    reference train.py:77,98-100), grouped into per-process batches, built by
-    a thread pool, and staged in a bounded queue so augmentation overlaps
-    device compute.
+    process_index::process_count (DistributedSampler analog, reference
+    train.py:77,98-100), grouped into per-process batches, and built by a
+    worker pool feeding a bounded in-flight window so augmentation overlaps
+    device compute. `backend='process'` (default for num_workers > 1) uses
+    spawned worker processes — cv2/numpy augmentation is GIL-bound under
+    threads (the reference's DataLoader workers are processes for the same
+    reason); `backend='thread'` keeps everything in-process for tests.
     """
 
     def __init__(self, dataset: COCODetection, cfg: Config,
                  batch_size: int, num_workers: int = 8, seed: int = 0,
                  process_index: int = 0, process_count: int = 1,
-                 prefetch: int = 4):
+                 prefetch: int = 8, backend: Optional[str] = None):
         self.ds = dataset
         self.cfg = cfg
         self.bs = batch_size
@@ -173,6 +195,8 @@ class TrainLoader:
         self.pidx, self.pcount = process_index, process_count
         self.prefetch = prefetch
         self.epoch = 0
+        self.backend = backend or ('process' if self.num_workers > 1 else 'thread')
+        self._pool = None
 
     def _epoch_indices(self) -> np.ndarray:
         rng = np.random.RandomState(self.seed + self.epoch)
@@ -181,44 +205,50 @@ class TrainLoader:
         n_batches = len(idx) // self.bs
         return idx[: n_batches * self.bs].reshape(n_batches, self.bs)
 
-    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        self.epoch += 1
-        plan = self._epoch_indices()
-        out_q: 'queue.Queue' = queue.Queue(maxsize=self.prefetch)
-        stop = threading.Event()
+    def _get_pool(self):
+        if self._pool is None:
+            if self.backend == 'process':
+                import multiprocessing as mp
+                from concurrent.futures import ProcessPoolExecutor
+                self._pool = ProcessPoolExecutor(
+                    self.num_workers, mp_context=mp.get_context('spawn'),
+                    initializer=_pool_init, initargs=(self.cfg,))
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+                self._pool = ThreadPoolExecutor(self.num_workers)
+        return self._pool
 
-        def build(batch_indices, rnd):
+    def _submit(self, pool, batch_indices, seed_key):
+        if self.backend == 'process':
+            return pool.submit(_pool_build, (batch_indices, seed_key))
+
+        def build():
+            rnd = random.Random(seed_key)
             samples = [self.ds.get_train(int(i), rnd) for i in batch_indices]
             return assemble_train_batch(samples, self.cfg)
+        return pool.submit(build)
 
-        def producer():
-            from concurrent.futures import ThreadPoolExecutor
-            try:
-                with ThreadPoolExecutor(self.num_workers) as pool:
-                    futures = [
-                        pool.submit(build, batch_indices,
-                                    random.Random(f'{self.seed}-{self.epoch}-{bi}'))
-                        for bi, batch_indices in enumerate(plan)]
-                    for f in futures:
-                        if stop.is_set():
-                            break
-                        out_q.put(f.result())
-                out_q.put(None)
-            except BaseException as e:  # propagate to the consumer
-                out_q.put(e)
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        from collections import deque
+        self.epoch += 1
+        plan = self._epoch_indices()
+        pool = self._get_pool()
+        window = self.num_workers + self.prefetch
+        pending = deque(
+            self._submit(pool, batch_indices, f'{self.seed}-{self.epoch}-{bi}')
+            for bi, batch_indices in enumerate(plan[:window]))
+        for bi in range(len(plan)):
+            batch = pending.popleft().result()
+            nxt = bi + window
+            if nxt < len(plan):
+                pending.append(self._submit(pool, plan[nxt],
+                                            f'{self.seed}-{self.epoch}-{nxt}'))
+            yield batch
 
-        thread = threading.Thread(target=producer, daemon=True)
-        thread.start()
-        try:
-            while True:
-                item = out_q.get()
-                if item is None:
-                    break
-                if isinstance(item, BaseException):
-                    raise item
-                yield item
-        finally:
-            stop.set()
+    def close(self):
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
 
     def __len__(self):
         return len(self._epoch_indices())

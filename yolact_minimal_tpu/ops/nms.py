@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from yolact_minimal_tpu.ops.boxes import box_iou, crop, decode
-from yolact_minimal_tpu.ops.resize import resize_bilinear_hw_last
+from yolact_minimal_tpu.ops.resize import upsample_bilinear_gather
 
 NEG_INF = -1e10
 
@@ -116,5 +116,6 @@ def finalize_masks_fixed(masks_proto: jnp.ndarray, out_size: int) -> jnp.ndarray
     after_nms's F.interpolate + gt_(0.5) (output_utils.py:224-228). The
     caller slices [0:h, 0:w] for non-square originals."""
     masks = jnp.transpose(masks_proto, (2, 0, 1))           # [D, ph, pw]
-    masks = resize_bilinear_hw_last(masks, out_size, out_size, align_corners=False)
+    masks = upsample_bilinear_gather(masks, out_size, out_size,
+                                     align_corners=False)
     return masks > 0.5

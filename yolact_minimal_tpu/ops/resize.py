@@ -60,3 +60,40 @@ def resize_bilinear_hw_last(x: jnp.ndarray, out_h: int, out_w: int,
     x = jnp.einsum('oh,...hw->...ow', wh, x)
     x = jnp.einsum('ow,...hw->...ho', ww, x)
     return x
+
+
+@lru_cache(maxsize=None)
+def _gather_lerp(in_size: int, out_size: int, align_corners: bool):
+    """(lo_idx, hi_idx, hi_frac) static tables for 2-tap bilinear gather."""
+    w = np.zeros(out_size, np.float32)
+    lo = np.zeros(out_size, np.int32)
+    for i in range(out_size):
+        if align_corners:
+            src = i * (in_size - 1) / (out_size - 1) if out_size > 1 else 0.0
+        else:
+            src = (i + 0.5) * in_size / out_size - 0.5
+        src = min(max(src, 0.0), in_size - 1)
+        lo[i] = int(np.floor(src))
+        w[i] = src - lo[i]
+    hi = np.minimum(lo + 1, in_size - 1)
+    return lo, hi, w
+
+
+def upsample_bilinear_gather(x: jnp.ndarray, out_h: int, out_w: int,
+                             align_corners: bool = False) -> jnp.ndarray:
+    """Bilinear resize of [..., H, W] via 2-tap gathers per axis — O(2) per
+    output pixel instead of the O(in_size) interpolation-matrix contraction.
+    The win is large for big upsamples with many channels (mask finalize:
+    100 masks 136->544 is ~100x fewer FLOPs than the matmul form)."""
+    in_h, in_w = x.shape[-2], x.shape[-1]
+    if (in_h, in_w) == (out_h, out_w):
+        return x
+    lo_h, hi_h, fh = _gather_lerp(in_h, out_h, align_corners)
+    lo_w, hi_w, fw = _gather_lerp(in_w, out_w, align_corners)
+    fh = jnp.asarray(fh, x.dtype)[..., :, None]       # [out_h, 1]
+    fw = jnp.asarray(fw, x.dtype)                     # [out_w]
+    x = (jnp.take(x, jnp.asarray(lo_h), axis=-2) * (1 - fh) +
+         jnp.take(x, jnp.asarray(hi_h), axis=-2) * fh)
+    x = (jnp.take(x, jnp.asarray(lo_w), axis=-1) * (1 - fw) +
+         jnp.take(x, jnp.asarray(hi_w), axis=-1) * fw)
+    return x
