@@ -57,13 +57,23 @@ def main():
                         choices=['float32', 'bfloat16'])
     parser.add_argument('--max_steps', type=int, default=-1,
                         help='Stop early after this many steps (debug).')
+    parser.add_argument('--lr', type=float, default=None,
+                        help='Override the base learning rate.')
+    parser.add_argument('--train_imgs', type=str, default=None)
+    parser.add_argument('--train_ann', type=str, default=None)
+    parser.add_argument('--val_imgs', type=str, default=None)
+    parser.add_argument('--val_ann', type=str, default=None)
     args = parser.parse_args()
 
+    overrides = {k: v for k, v in (
+        ('base_lr', args.lr), ('train_imgs', args.train_imgs),
+        ('train_ann', args.train_ann), ('val_imgs', args.val_imgs),
+        ('val_ann', args.val_ann)) if v is not None}
     cfg = get_config(args.cfg, mode='train', img_size=args.img_size,
                      train_bs=args.train_bs, val_interval=args.val_interval,
                      val_num=args.val_num, coco_api=args.coco_api,
                      compute_dtype=args.compute_dtype,
-                     traditional_nms=args.traditional_nms)
+                     traditional_nms=args.traditional_nms, **overrides)
     main_proc = is_main_process()
     if main_proc:
         cfg.print_cfg()

@@ -134,13 +134,15 @@ def assemble_train_batch(samples: List[dict], cfg: Config) -> Dict[str, np.ndarr
         valid.append(valid[i % len(valid)])
     b, g, s = len(valid), cfg.max_gt, cfg.img_size
 
+    # masks ship as uint8 (binarized anyway) — 4x less host->device traffic;
+    # the loss casts them on device.
     batch = dict(
         image=np.stack([v['image'] for v in valid]).astype(np.float32),
         boxes=np.zeros((b, g, 4), np.float32),
         labels=np.zeros((b, g), np.int32),
         valid=np.zeros((b, g), bool),
-        masks_proto=np.zeros((b, g, s // 4, s // 4), np.float32),
-        masks_seg=np.zeros((b, g, s // 8, s // 8), np.float32),
+        masks_proto=np.zeros((b, g, s // 4, s // 4), np.uint8),
+        masks_seg=np.zeros((b, g, s // 8, s // 8), np.uint8),
     )
     for i, v in enumerate(valid):
         n = v['boxes'].shape[0]

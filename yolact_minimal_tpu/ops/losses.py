@@ -101,6 +101,7 @@ def _lincomb_single(proto, coef_p, pos, anchor_max_i, anchor_max_gt,
     sel_box = anchor_max_gt[sel]                                   # [K, 4]
     sel_gt_i = anchor_max_i[sel]                                   # [K]
     mask_gt = jnp.transpose(masks_proto[sel_gt_i], (1, 2, 0))      # [ph, pw, K]
+    mask_gt = mask_gt.astype(jnp.float32)                          # uint8 on the wire
 
     mask_p = jax.nn.sigmoid(
         jnp.matmul(proto, sel_coef.T, preferred_element_type=jnp.float32))
@@ -141,6 +142,7 @@ def semantic_seg_loss(seg_p, masks_seg, labels_gt, gt_valid,
     b, sh, sw, c = seg_p.shape
 
     def build_target(masks, labels, valid):
+        masks = masks.astype(jnp.float32)          # uint8 on the wire
         m = masks * valid[:, None, None].astype(masks.dtype)
         return jnp.zeros((c, sh, sw), masks.dtype).at[labels].max(m)
 

@@ -87,6 +87,9 @@ class Detector:
         """Reference after_nms host tail (output_utils.py:200-233) for ONE
         image: filter by visual threshold, upsample masks to the original
         size, binarize, slice the padded square, scale boxes to pixels."""
+        # one batched D2H fetch — per-field np.asarray costs a full transfer
+        # round-trip each (expensive over a remote-TPU link)
+        dets, masks_proto = jax.device_get((dets, masks_proto))
         valid = np.asarray(dets.valid)
         scores = np.asarray(dets.scores)
         keep = valid if visual_thre is None else valid & (scores >= visual_thre)
