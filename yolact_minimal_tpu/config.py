@@ -188,6 +188,10 @@ CONFIG_REGISTRY: Dict[str, dict] = {
     'res50_pascal': dict(backbone='resnet50', **_pascal_overrides()),
     'res101_custom': dict(backbone='resnet101', **_custom_overrides()),
     'res50_custom': dict(backbone='resnet50', **_custom_overrides()),
+    # extra convenience config (not in the reference): swin on custom data
+    'swin_tiny_custom': dict(backbone='swin_tiny', base_lr=0.00005,
+                             optimizer='adamw', weight_decay=0.05,
+                             **_custom_overrides()),
 }
 
 

@@ -84,17 +84,22 @@ def make_train_step(cfg: Config, anchors):
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: dict, rng):
         rng = jax.random.fold_in(rng, state.step)
+        loss_rng, dropout_rng = jax.random.split(rng)
 
         def loss_fn(params):
+            variables = {'params': params}
+            if state.batch_stats is not None:      # BN backbones only
+                variables['batch_stats'] = state.batch_stats
             outputs, mutated = state.apply_fn(
-                {'params': params, 'batch_stats': state.batch_stats},
-                batch['image'], train=True, mutable=['batch_stats'])
-            losses: LossBreakdown = compute_loss(cfg, outputs, batch, anchors, rng)
+                variables, batch['image'], train=True,
+                mutable=['batch_stats'], rngs={'dropout': dropout_rng})
+            losses: LossBreakdown = compute_loss(cfg, outputs, batch, anchors,
+                                                 loss_rng)
             return losses.total, (losses, mutated)
 
         grads, (losses, mutated) = jax.grad(loss_fn, has_aux=True)(state.params)
-        state = state.apply_gradients(
-            grads=grads, batch_stats=mutated['batch_stats'])
+        new_stats = mutated.get('batch_stats') or state.batch_stats
+        state = state.apply_gradients(grads=grads, batch_stats=new_stats)
         return state, losses
 
     return train_step
