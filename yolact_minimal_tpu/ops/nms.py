@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from yolact_minimal_tpu.ops.boxes import box_iou, crop, decode
-from yolact_minimal_tpu.ops.resize import upsample_bilinear_gather
+from yolact_minimal_tpu.ops.resize import resize_bilinear_hw_last
 
 NEG_INF = -1e10
 
@@ -115,7 +115,10 @@ def finalize_masks_fixed(masks_proto: jnp.ndarray, out_size: int) -> jnp.ndarray
     binarize (>0.5), entirely on device — the fixed-size analog of reference
     after_nms's F.interpolate + gt_(0.5) (output_utils.py:224-228). The
     caller slices [0:h, 0:w] for non-square originals."""
+    # NOTE: measured on v5e — the separable interp-matrix matmul beats the
+    # 2-tap gather form by ~1.5x end-to-end here (gathers along major dims
+    # are slow on TPU; the matmuls ride the MXU), despite ~100x more FLOPs.
     masks = jnp.transpose(masks_proto, (2, 0, 1))           # [D, ph, pw]
-    masks = upsample_bilinear_gather(masks, out_size, out_size,
-                                     align_corners=False)
+    masks = resize_bilinear_hw_last(masks, out_size, out_size,
+                                    align_corners=False)
     return masks > 0.5
