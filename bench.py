@@ -15,6 +15,7 @@ import numpy as np
 
 
 def main():
+    import argparse
     import jax
     import jax.numpy as jnp
 
@@ -22,8 +23,12 @@ def main():
     from yolact_minimal_tpu.pipeline import Detector
     from yolact_minimal_tpu.models.yolact import Yolact
 
-    img_size = 544
-    batch = 8
+    p = argparse.ArgumentParser()
+    p.add_argument('--img_size', type=int, default=544)
+    p.add_argument('--batch', type=int, default=16)
+    args = p.parse_args()
+    img_size = args.img_size
+    batch = args.batch
     cfg = get_config('res50_coco', mode='val', img_size=img_size,
                      compute_dtype='bfloat16')
     model = Yolact(cfg=cfg, train_mode=False)
