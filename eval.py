@@ -45,6 +45,7 @@ def evaluate(detector: Detector, cfg, step=None, max_images: int = -1):
         if i == 1:
             timer.start()
         item = futures[i].result()
+        futures[i] = None   # don't retain every image for the whole eval
         if len(futures) < n:
             futures.append(pool.submit(dataset.get_val, len(futures)))
         img = jnp.asarray(item['image'])[None]
