@@ -66,12 +66,18 @@ def test_forward_parity_resnet(rng, name, our_cfg):
     np.testing.assert_allclose(np.asarray(j_proto), t_proto.numpy(), atol=2e-3)
 
 
-def test_param_count_res50():
-    """Eval-mode ResNet-50 model should have ~31.16M params (README.md:32)."""
+@pytest.mark.parametrize('name,expected', [
+    ('res50_coco', 31.16e6),      # reference README.md:32
+    ('res101_coco', 50.15e6),     # README.md:33
+    ('swin_tiny_coco', 34.58e6),  # README.md:34
+])
+def test_param_counts_match_published(name, expected):
+    """Eval-mode parameter counts must match the reference's published
+    model sizes."""
     import jax
-    cfg = get_config('res50_coco', mode='val', img_size=IMG)
+    cfg = get_config(name, mode='val', img_size=IMG)
     model = Yolact(cfg=cfg, train_mode=False)
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, IMG, IMG, 3), jnp.float32), train=False)
     n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables['params']))
-    assert abs(n - 31.16e6) / 31.16e6 < 0.02, f'{n/1e6:.2f}M params'
+    assert abs(n - expected) / expected < 0.02, f'{name}: {n/1e6:.2f}M params'
