@@ -69,6 +69,14 @@ def fast_nms(boxes: jnp.ndarray, coefs: jnp.ndarray, scores: jnp.ndarray,
                                 top_k, iou_thre, max_detections)
 
 
+import os
+
+# Pallas suppression kernel (ops/pallas_nms.py): numerically identical,
+# streams per-class IoU tiles through VMEM instead of materializing
+# [C, K, K] in HBM. Off by default; flip via YOLACT_PALLAS_NMS=1.
+USE_PALLAS_SUPPRESSION = os.environ.get('YOLACT_PALLAS_NMS', '0') == '1'
+
+
 def _suppress_and_select(planes, coefs, cls_scores, idx, top_k, iou_thre,
                          max_detections) -> Detections:
     """Triangular IoU-max suppression + global top-k on candidate planes
@@ -76,10 +84,14 @@ def _suppress_and_select(planes, coefs, cls_scores, idx, top_k, iou_thre,
     x1, y1, x2, y2 = planes
     cls_valid = cls_scores > NEG_INF / 2
 
-    iou = _plane_iou(x1, y1, x2, y2)                        # [C-1, K, K]
-    iou = jnp.where(cls_valid[:, None, :] & cls_valid[:, :, None], iou, 0.0)
-    iou = jnp.triu(iou, k=1)
-    iou_max = jnp.max(iou, axis=1)                          # [C-1, K]
+    if USE_PALLAS_SUPPRESSION:
+        from yolact_minimal_tpu.ops.pallas_nms import suppression_iou_max
+        iou_max = suppression_iou_max(x1, y1, x2, y2, cls_valid)
+    else:
+        iou = _plane_iou(x1, y1, x2, y2)                    # [C-1, K, K]
+        iou = jnp.where(cls_valid[:, None, :] & cls_valid[:, :, None], iou, 0.0)
+        iou = jnp.triu(iou, k=1)
+        iou_max = jnp.max(iou, axis=1)                      # [C-1, K]
     keep = (iou_max <= iou_thre) & cls_valid
 
     flat_scores = jnp.where(keep, cls_scores, NEG_INF).reshape(-1)
