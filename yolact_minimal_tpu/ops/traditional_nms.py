@@ -26,7 +26,11 @@ def _load_library() -> ctypes.CDLL:
     if _LIB is not None:
         return _LIB
     lib_path = osp.join(_NATIVE_DIR, 'libyolact_native.so')
-    if not osp.exists(lib_path):
+    sources = [osp.join(_NATIVE_DIR, f) for f in ('nms.cc', 'Makefile')]
+    stale = (not osp.exists(lib_path) or
+             any(osp.exists(s) and osp.getmtime(s) > osp.getmtime(lib_path)
+                 for s in sources))
+    if stale:
         subprocess.run(['make', '-C', _NATIVE_DIR], check=True,
                        capture_output=True)
     lib = ctypes.CDLL(lib_path)

@@ -35,10 +35,14 @@ def draw_img(ids_p, scores_p, boxes_p, masks_p, img_origin, cfg,
 
     if not cfg.hide_mask:
         # color each pixel by (sum of instance ids+1) mod palette size, so
-        # overlaps get a distinct color (same trick as the reference).
-        sem = (masks_p * (ids_p[:, None, None] + 1)).astype(int).sum(0) \
-            % (cfg.num_classes - 1)
-        color_masks = COLORS[sem % len(COLORS)].astype(np.uint8)
+        # overlaps get a distinct color (same trick as reference
+        # output_utils.py:322-325, which mods by num_classes-1; that aliases
+        # objects of the last class to sem==0 — invisible — for small custom
+        # class sets). Map nonzero sums into [1, len(COLORS)-1] instead so a
+        # covered pixel can never collide with the background value 0.
+        raw = (masks_p * (ids_p[:, None, None] + 1)).astype(int).sum(0)
+        sem = np.where(raw > 0, 1 + (raw - 1) % (len(COLORS) - 1), 0)
+        color_masks = COLORS[sem].astype(np.uint8)
         fused = cv2.addWeighted(color_masks, 0.4, img_origin, 0.6, gamma=0)
 
         if cfg.cutout and img_name is not None:
