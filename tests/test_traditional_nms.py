@@ -62,3 +62,70 @@ def test_traditional_nms_full_path(rng):
     assert len(b) == len(cf) == len(ids) == len(sc) <= 100
     assert (np.diff(sc) <= 1e-6).all()   # sorted descending
     assert ids.max() < c
+
+
+def test_detector_traditional_dispatch(rng):
+    """--traditional_nms wiring: Detector must dispatch to the C++ greedy
+    path and its padded slate must roughly agree with fast-NMS on the same
+    crafted predictions (reference output_utils.py:126-134 dispatch)."""
+    import jax
+    import jax.numpy as jnp
+    from yolact_minimal_tpu.config import get_config
+    from yolact_minimal_tpu.models.yolact import Yolact
+    from yolact_minimal_tpu.ops.boxes import decode
+    from yolact_minimal_tpu.ops.nms import (assemble_masks,
+                                            detect_postprocess_batch)
+    from yolact_minimal_tpu.pipeline import Detector
+
+    img = 128
+    cfg = get_config('res50_custom', mode='val', img_size=img,
+                     traditional_nms=True)
+    model = Yolact(cfg=cfg, train_mode=False)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, img, img, 3), jnp.float32),
+                           train=False)
+    det = Detector(cfg, variables)
+    a = det.anchors.shape[0]
+
+    # craft predictions: 3 confident, spatially separated detections
+    class_p = np.full((1, a, cfg.num_classes), 1e-4, np.float32)
+    class_p[..., 0] = 0.9
+    hot = [10, a // 2, a - 20]
+    for k, anchor_idx in enumerate(hot):
+        class_p[0, anchor_idx, :] = 1e-4
+        class_p[0, anchor_idx, k + 1] = 0.95
+    box_p = np.zeros((1, a, 4), np.float32)          # offsets 0 -> anchor box
+    coef_p = rng.normal(size=(1, a, 32)).astype(np.float32)
+    proto = rng.uniform(size=(1, img // 4, img // 4, 32)).astype(np.float32)
+
+    # monkeypatch the device half with the crafted raw outputs
+    boxes_dec = decode(jnp.asarray(box_p), det.anchors, clip=True)
+    det._infer_raw = lambda v, imgs: (jnp.asarray(class_p), boxes_dec,
+                                      jnp.asarray(coef_p), jnp.asarray(proto))
+
+    dets, masks_proto, proto_out = det(jnp.zeros((1, img, img, 3)))
+    valid = np.asarray(dets.valid[0])
+    assert valid.any(), 'traditional path produced no detections'
+
+    # fast-NMS on the same predictions
+    fast = detect_postprocess_batch(
+        jnp.asarray(class_p), jnp.asarray(box_p), jnp.asarray(coef_p),
+        det.anchors, cfg.nms_score_thre, cfg.nms_iou_thre, cfg.top_k,
+        cfg.max_detections)
+    fvalid = np.asarray(fast.valid[0])
+
+    def top3(d, v):
+        order = np.argsort(-np.asarray(d.scores[0])[v])[:3]
+        return (np.asarray(d.ids[0])[v][order],
+                np.asarray(d.boxes[0])[v][order])
+    t_ids, t_boxes = top3(dets, valid)
+    f_ids, f_boxes = top3(fast, fvalid)
+    np.testing.assert_array_equal(np.sort(t_ids), np.sort(f_ids))
+    np.testing.assert_allclose(np.sort(t_boxes, 0), np.sort(f_boxes, 0),
+                               atol=1e-3)
+
+    # the host tail must accept the numpy slate unchanged
+    det0 = type(dets)(*(x[0] for x in dets))
+    ids, scores, boxes_px, masks = det.postprocess_host(
+        det0, masks_proto[0], img, img, visual_thre=0.5)
+    assert len(ids) >= 3 and masks.shape[1:] == (img, img)

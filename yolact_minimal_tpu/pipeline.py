@@ -23,7 +23,7 @@ import numpy as np
 
 from yolact_minimal_tpu.config import Config
 from yolact_minimal_tpu.models.yolact import Yolact
-from yolact_minimal_tpu.ops.boxes import make_anchors
+from yolact_minimal_tpu.ops.boxes import crop_numpy, decode, make_anchors
 from yolact_minimal_tpu.ops.nms import (Detections, assemble_masks,
                                         detect_postprocess_batch,
                                         finalize_masks_fixed)
@@ -65,6 +65,17 @@ class Detector:
 
         self._infer_fixed = _infer_fixed
 
+        @jax.jit
+        def _infer_raw(variables, images):
+            """Forward + box decode only — the device half of the
+            --traditional_nms path; greedy suppression runs host-side."""
+            class_p, box_p, coef_p, proto = self.model.apply(variables, images,
+                                                             train=False)
+            boxes = decode(box_p, self.anchors, clip=True)
+            return class_p, boxes, coef_p, proto
+
+        self._infer_raw = _infer_raw
+
     def update_variables(self, variables: dict):
         """Swap in new weights without retracing the jitted graphs (used by
         in-training validation so each val round reuses the compiled fns)."""
@@ -74,8 +85,48 @@ class Detector:
 
     def __call__(self, images: jnp.ndarray):
         """images [B, S, S, 3] normalized RGB -> (Detections, masks_proto
-        [B, ph, pw, D], proto [B, ph, pw, 32]), all on device."""
+        [B, ph, pw, D], proto [B, ph, pw, 32]). On device for fast-NMS;
+        host numpy slates (same shapes/interface) for --traditional_nms."""
+        if self.cfg.traditional_nms:
+            return self._call_traditional(images)
         return self._infer(self.variables, images)
+
+    def _call_traditional(self, images: jnp.ndarray):
+        """--traditional_nms dispatch (reference output_utils.py:126-134):
+        jitted forward+decode on device, then the native C++ greedy per-class
+        NMS (ops/traditional_nms.py) and mask assembly host-side, padded back
+        into the fixed [max_detections] slate so every downstream consumer
+        (postprocess_host, eval, detect) is dispatch-agnostic."""
+        from yolact_minimal_tpu.ops.traditional_nms import traditional_nms
+        cfg = self.cfg
+        class_p, boxes_all, coef_p, proto = jax.device_get(
+            self._infer_raw(self.variables, images))
+        bsz, _, n_coef = coef_p.shape
+        ph, pw = proto.shape[1:3]
+        d = cfg.max_detections
+        ids = np.zeros((bsz, d), np.int32)
+        scores = np.zeros((bsz, d), np.float32)
+        boxes = np.zeros((bsz, d, 4), np.float32)
+        coefs = np.zeros((bsz, d, n_coef), np.float32)
+        valid = np.zeros((bsz, d), bool)
+        masks_proto = np.zeros((bsz, ph, pw, d), np.float32)
+        for b in range(bsz):
+            cls_scores = np.ascontiguousarray(class_p[b][:, 1:].T)  # [C-1, A]
+            bx, cf, cl, sc = traditional_nms(
+                boxes_all[b], coef_p[b], cls_scores, cfg.img_size,
+                cfg.nms_score_thre, cfg.nms_iou_thre, d)
+            k = len(cl)
+            if k == 0:
+                continue
+            ids[b, :k], scores[b, :k] = cl, sc
+            boxes[b, :k], coefs[b, :k] = bx, cf
+            valid[b, :k] = True
+            masks = 1.0 / (1.0 + np.exp(-(proto[b] @ cf.T)))
+            if not cfg.no_crop:
+                masks = crop_numpy(masks, bx)
+            masks_proto[b, :, :, :k] = masks
+        dets = Detections(ids, scores, boxes, coefs, valid)
+        return dets, masks_proto, proto
 
     def detect_fixed(self, images: jnp.ndarray, out_size: int):
         """Fully on-device detect with square binarized masks [B, D, S, S]."""
