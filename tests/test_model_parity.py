@@ -81,3 +81,91 @@ def test_param_counts_match_published(name, expected):
                            jnp.zeros((1, IMG, IMG, 3), jnp.float32), train=False)
     n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables['params']))
     assert abs(n - expected) / expected < 0.02, f'{name}: {n/1e6:.2f}M params'
+
+
+@pytest.mark.parametrize('backbone,layers', [
+    ('resnet50', (3, 4, 6, 3)),
+    ('resnet101', (3, 4, 23, 3)),
+])
+def test_backbone_init_parity(rng, backbone, layers):
+    """Pretrained-backbone training init (reference train.py:56 /
+    resnet.py:100-104): a reference backbone-only state_dict converted by
+    convert_backbone_state_dict and grafted via create_train_state must
+    reproduce the torch backbone's C2-C5 activations exactly."""
+    import jax
+    import torch
+    from modules.resnet import ResNet as RefResNet
+
+    from yolact_minimal_tpu.models.resnet import ResNet
+    from yolact_minimal_tpu.train_state import create_train_state
+    from yolact_minimal_tpu.utils.weights import convert_backbone_state_dict
+
+    torch.manual_seed(1)
+    ref = RefResNet(list(layers))
+    ref.eval()
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    bb = convert_backbone_state_dict(sd)
+
+    cfg = get_config(f'res{"50" if layers[2] == 6 else "101"}_coco',
+                     mode='train', img_size=IMG, train_bs=8)
+    state = create_train_state(cfg, jax.random.PRNGKey(0),
+                               backbone_variables=bb)
+
+    img = rng.normal(size=(1, 3, IMG, IMG)).astype(np.float32)
+    with torch.no_grad():
+        t_outs = ref(torch.tensor(img))
+
+    x = jnp.asarray(np.transpose(img, (0, 2, 3, 1)))
+    j_outs = ResNet(layers=layers).apply(
+        {'params': state.params['backbone'],
+         'batch_stats': state.batch_stats['backbone']}, x, train=False)
+
+    assert len(j_outs) == len(t_outs) == 4
+    for j, t in zip(j_outs, t_outs):
+        np.testing.assert_allclose(
+            np.asarray(j), np.transpose(t.numpy(), (0, 2, 3, 1)), atol=2e-4)
+
+
+def test_backbone_init_strict_rejects_mismatch(rng):
+    """strict (resnet) graft must reject an incomplete backbone weight."""
+    import jax
+    from yolact_minimal_tpu.train_state import create_train_state
+
+    cfg = get_config('res50_coco', mode='train', img_size=IMG, train_bs=8)
+    bad = {'params': {'conv1': {'kernel': np.zeros((7, 7, 3, 64), np.float32)}},
+           'batch_stats': {}}
+    with pytest.raises(ValueError, match='strict'):
+        create_train_state(cfg, jax.random.PRNGKey(0), backbone_variables=bad)
+
+
+def test_backbone_init_swin(rng):
+    """Swin backbone-only checkpoints convert with root-level keys and graft
+    leniently (reference swin strict=False, swin_transformer.py:498)."""
+    import jax
+    import torch
+    from modules.swin_transformer import SwinTransformer as RefSwin
+
+    from yolact_minimal_tpu.models.swin import SwinTiny
+    from yolact_minimal_tpu.train_state import create_train_state
+    from yolact_minimal_tpu.utils.weights import convert_backbone_state_dict
+
+    torch.manual_seed(2)
+    ref = RefSwin()
+    ref.eval()
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    bb = convert_backbone_state_dict(sd)
+
+    cfg = get_config('swin_tiny_coco', mode='train', img_size=IMG, train_bs=8)
+    state = create_train_state(cfg, jax.random.PRNGKey(0),
+                               backbone_variables=bb)
+
+    img = rng.normal(size=(1, 3, IMG, IMG)).astype(np.float32)
+    with torch.no_grad():
+        t_outs = ref(torch.tensor(img))
+
+    x = jnp.asarray(np.transpose(img, (0, 2, 3, 1)))
+    j_outs = SwinTiny().apply({'params': state.params['backbone']},
+                              x, train=False)
+    for j, t in zip(j_outs, t_outs):
+        np.testing.assert_allclose(
+            np.asarray(j), np.transpose(t.numpy(), (0, 2, 3, 1)), atol=2e-3)

@@ -20,8 +20,11 @@ from yolact_minimal_tpu.data.coco import COCODetection, TrainLoader
 from yolact_minimal_tpu.parallel.mesh import (is_main_process, make_mesh,
                                               shard_batch)
 from yolact_minimal_tpu.pipeline import Detector
-from yolact_minimal_tpu.train_state import (create_train_state, lr_schedule,
-                                            make_anchors_for, make_train_step)
+from yolact_minimal_tpu.train_state import (create_train_state,
+                                            fast_forward_schedule, lr_schedule,
+                                            make_anchors_for, make_train_step,
+                                            opt_state_to_payload,
+                                            restore_opt_state)
 from yolact_minimal_tpu.utils import timer
 from yolact_minimal_tpu.utils.checkpoint import (load_weights_auto, save_best,
                                                  save_latest, step_from_name)
@@ -48,8 +51,14 @@ def main():
                         help='Global training batch size (split over devices).')
     parser.add_argument('--img_size', type=int, default=544)
     parser.add_argument('--resume', default=None, type=str)
+    parser.add_argument('--backbone_weight', default=None, type=str,
+                        help='Pretrained backbone .pth for init when not '
+                             'resuming (default: per-backbone path from the '
+                             'config, loaded if the file exists).')
     parser.add_argument('--val_interval', type=int, default=4000)
     parser.add_argument('--val_num', type=int, default=-1)
+    parser.add_argument('--val_bs', type=int, default=None,
+                        help='Device batch size for in-training validation.')
     parser.add_argument('--coco_api', action='store_true')
     parser.add_argument('--traditional_nms', action='store_true')
     parser.add_argument('--num_workers', type=int, default=8)
@@ -68,7 +77,7 @@ def main():
     overrides = {k: v for k, v in (
         ('base_lr', args.lr), ('train_imgs', args.train_imgs),
         ('train_ann', args.train_ann), ('val_imgs', args.val_imgs),
-        ('val_ann', args.val_ann)) if v is not None}
+        ('val_ann', args.val_ann), ('val_bs', args.val_bs)) if v is not None}
     cfg = get_config(args.cfg, mode='train', img_size=args.img_size,
                      train_bs=args.train_bs, val_interval=args.val_interval,
                      val_num=args.val_num, coco_api=args.coco_api,
@@ -88,13 +97,43 @@ def main():
 
     start_step = 0
     variables = None
+    backbone_variables = None
+    opt_payload = None
     if args.resume:
-        assert args.cfg in args.resume, \
+        # exact cfg-name equality parsed from the filename (reference
+        # train.py:51 regex semantics — 'res50_coco' must NOT match a
+        # 'res50_coco_v2' weight, which a substring test would allow)
+        assert cfg_name_from_weight(args.resume) == args.cfg, \
             'Resume weight is not compatible with current cfg.'
         variables = load_weights_auto(args.resume, include_semantic=True)
+        opt_payload = variables.pop('opt_state', None)
+        variables.pop('step', None)
         start_step = step_from_name(args.resume)
         print(f'Resumed from {args.resume} at step {start_step}.')
-    state = create_train_state(cfg, rng, variables=variables, step=start_step)
+    else:
+        # pretrained-backbone init (reference train.py:56): required when
+        # --backbone_weight is given explicitly, best-effort on the
+        # config's default path.
+        bw = args.backbone_weight or cfg.backbone_weight
+        import os.path as osp
+        if args.backbone_weight and not osp.exists(bw):
+            raise FileNotFoundError(f'--backbone_weight {bw!r} not found.')
+        if bw and osp.exists(bw):
+            from yolact_minimal_tpu.utils.weights import (
+                convert_backbone_state_dict, load_torch_checkpoint)
+            backbone_variables = convert_backbone_state_dict(
+                load_torch_checkpoint(bw))
+            print(f'\nBackbone is initiated with {bw}.\n')
+        elif main_proc:
+            print(f'\nNo pretrained backbone at {bw!r}; '
+                  'training from random init.\n')
+    state = create_train_state(cfg, rng, variables=variables, step=start_step,
+                               backbone_variables=backbone_variables)
+    if opt_payload is not None:
+        state = restore_opt_state(state, opt_payload)
+        print('Optimizer state (momentum/moments + schedule) restored.')
+    elif start_step:
+        state = fast_forward_schedule(state, start_step)
     if main_proc:
         n_params = sum(int(np.prod(p.shape))
                        for p in jax.tree.leaves(state.params))
@@ -118,6 +157,14 @@ def main():
     data_rng = jax.random.PRNGKey(1)
 
     detector_cache = {}
+
+    def _train_payload(state):
+        """latest-checkpoint payload: weights + optimizer state + step, so
+        resume is exact (momentum/moments and LR-schedule position)."""
+        return {'params': jax.device_get(state.params),
+                'batch_stats': jax.device_get(state.batch_stats),
+                'opt_state': opt_state_to_payload(state.opt_state),
+                'step': int(state.step)}
 
     def run_validation(step):
         val_cfg = cfg.replace(mode='val')
@@ -167,9 +214,8 @@ def main():
                         # params — save a post-mortem checkpoint and abort
                         # instead of burning the rest of the schedule.
                         if not np.isfinite(l_c + l_b + l_m + l_s):
-                            save_latest({'params': jax.device_get(state.params),
-                                         'batch_stats': jax.device_get(state.batch_stats)},
-                                        cfg.name + '_nan', step)
+                            save_latest(_train_payload(state), cfg.name + '_nan',
+                                        step)
                             raise FloatingPointError(
                                 f'Non-finite loss at step {step}: '
                                 f'c={l_c} b={l_b} m={l_m} s={l_s}')
@@ -202,9 +248,7 @@ def main():
                     if step >= end_step:
                         training = False
                         if main_proc:
-                            save_latest({'params': jax.device_get(state.params),
-                                         'batch_stats': jax.device_get(state.batch_stats)},
-                                        cfg.name, step)
+                            save_latest(_train_payload(state), cfg.name, step)
                             print('\nValidation results during training:\n')
                             for t in map_tables:
                                 print(t, '\n')
@@ -212,9 +256,7 @@ def main():
                         break
     except KeyboardInterrupt:
         if main_proc:
-            save_latest({'params': jax.device_get(state.params),
-                         'batch_stats': jax.device_get(state.batch_stats)},
-                        cfg.name, step)
+            save_latest(_train_payload(state), cfg.name, step)
             print('\nValidation results during training:\n')
             for t in map_tables:
                 print(t, '\n')

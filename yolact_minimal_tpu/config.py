@@ -97,7 +97,10 @@ class Config:
     weight_decay: float = 5e-4
     val_interval: int = 4000
     val_num: int = -1
-    val_bs: int = 1
+    # device batch size for eval; the reference evaluates at bs=1
+    # (eval.py:30) — batching amortizes the dispatch+D2H round trip per image
+    # and is a straight throughput win on TPU.
+    val_bs: int = 8
     coco_api: bool = False
 
     # postprocessing
@@ -119,9 +122,10 @@ class Config:
     image: Optional[str] = None
     video: Optional[str] = None
 
-    # checkpoints / resume
-    weight: Optional[str] = None
-    resume: Optional[str] = None
+    # pretrained backbone for training init (reference config.py:84/144/153;
+    # consumed by train.py when not resuming, like reference train.py:53-56).
+    # None -> per-backbone default path, set in __post_init__.
+    backbone_weight: Optional[str] = None
 
     # numerics: params always f32; compute dtype selectable for speed.
     compute_dtype: str = 'float32'           # float32 | bfloat16
@@ -137,6 +141,12 @@ class Config:
         self.lr = self.base_lr * self.bs_factor
         self.warmup_init = self.lr * 0.1
         self.lr_steps = tuple(int(s / self.bs_factor) for s in self.base_lr_steps)
+        if self.backbone_weight is None:
+            self.backbone_weight = {
+                'resnet50': 'weights/backbone_res50.pth',
+                'resnet101': 'weights/backbone_res101.pth',
+                'swin_tiny': 'weights/swin_tiny.pth',
+            }.get(self.backbone)
 
     @property
     def num_classes(self) -> int:

@@ -59,11 +59,20 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
 
 
 def create_train_state(cfg: Config, rng, variables: Optional[dict] = None,
-                       step: int = 0) -> TrainState:
+                       step: int = 0,
+                       backbone_variables: Optional[dict] = None) -> TrainState:
+    """`backbone_variables` (converted by utils/weights.py
+    convert_backbone_state_dict) grafts a pretrained backbone over the fresh
+    init — the reference's `net.backbone.init_backbone(cfg.weight)` path
+    (train.py:56): strict for resnets, lenient for swin."""
     model = Yolact(cfg=cfg, train_mode=True)
     if variables is None:
         dummy = jnp.zeros((1, cfg.img_size, cfg.img_size, 3), jnp.float32)
         variables = model.init(rng, dummy, train=True)
+        if backbone_variables is not None:
+            from yolact_minimal_tpu.utils.weights import graft_backbone
+            variables = graft_backbone(variables, backbone_variables,
+                                       strict=cfg.backbone != 'swin_tiny')
     state = TrainState.create(
         apply_fn=model.apply,
         params=variables['params'],
@@ -107,3 +116,37 @@ def make_train_step(cfg: Config, anchors):
 
 def make_anchors_for(cfg: Config):
     return box_ops.make_anchors(cfg.img_size, cfg.aspect_ratios, cfg.scales)
+
+
+def opt_state_to_payload(opt_state) -> dict:
+    """Serialize-friendly dict form of the optax state (namedtuples/chains
+    become nested {'0': ..., 'count': ...} dicts)."""
+    import flax.serialization as fser
+    return fser.to_state_dict(jax.device_get(opt_state))
+
+
+def restore_opt_state(state: TrainState, payload: dict) -> TrainState:
+    """Restore a checkpointed optimizer payload (momentum/moments + schedule
+    counts) into a freshly created state."""
+    import flax.serialization as fser
+    return state.replace(
+        opt_state=fser.from_state_dict(state.opt_state, payload))
+
+
+def fast_forward_schedule(state: TrainState, step: int) -> TrainState:
+    """For checkpoints without an opt_state payload (reference .pth, old
+    .ckpt): advance every optax `count` leaf to `step` so the LR schedule
+    resumes at the right position instead of silently replaying warmup/decay
+    from zero (the optimizer's internal count — not TrainState.step — is what
+    drives the schedule)."""
+    import flax.serialization as fser
+    sd = fser.to_state_dict(state.opt_state)
+
+    def fix(node):
+        if isinstance(node, dict):
+            return {k: (jnp.asarray(step, v.dtype) if k == 'count'
+                        else fix(v)) for k, v in node.items()}
+        return node
+
+    return state.replace(
+        opt_state=fser.from_state_dict(state.opt_state, fix(sd)))

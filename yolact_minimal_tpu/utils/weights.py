@@ -135,20 +135,148 @@ def convert_state_dict(state_dict: Dict[str, 'np.ndarray'],
 
 def convert_backbone_state_dict(state_dict: Dict[str, 'np.ndarray']) -> dict:
     """Convert a backbone-only checkpoint (reference init_backbone path,
-    resnet.py:100-104; also accepts torchvision layer1..4 naming)."""
+    resnet.py:100-104 / swin_transformer.py:486-498; also accepts torchvision
+    layer1..4 naming). Swin checkpoints are detected by their block keys."""
     params: dict = {}
     stats: dict = {}
+    is_swin = any('.blocks.' in k for k in state_dict)
     for key, value in state_dict.items():
-        if key.endswith('num_batches_tracked') or key.startswith('fc.'):
+        if key.endswith('num_batches_tracked') or key.startswith(('fc.', 'head.')):
             continue
-        _convert_resnet_entry(key, value, params, stats, ())
+        if is_swin:
+            _convert_swin_entry(key, value, params, stats, ())
+        else:
+            _convert_resnet_entry(key, value, params, stats, ())
     return {'params': params, 'batch_stats': stats}
 
 
+def graft_backbone(variables: dict, backbone: dict, strict: bool) -> dict:
+    """Overlay converted backbone tensors onto freshly-initialized model
+    variables — the analog of reference `net.backbone.init_backbone(path)`
+    (train.py:56): strict=True for resnets (every model tensor must be
+    covered), strict=False for swin (published checkpoints carry extra
+    buffers / lack stochastic-depth state, reference swin_transformer.py:498).
+    Returns a new variables dict; shapes are always validated."""
+
+    def clone(tree):
+        """Copy the dict structure, sharing the (immutable) leaf arrays."""
+        return {k: clone(v) if isinstance(v, dict) else v
+                for k, v in tree.items()}
+
+    def overlay(dst: dict, src: dict, path=()):
+        for k, v in src.items():
+            if isinstance(v, dict):
+                if k not in dst:
+                    raise KeyError(f'backbone weight has unknown module '
+                                   f'{"/".join(path + (k,))}')
+                overlay(dst[k], v, path + (k,))
+            else:
+                if k not in dst:
+                    raise KeyError(f'backbone weight has unknown tensor '
+                                   f'{"/".join(path + (k,))}')
+                if tuple(dst[k].shape) != tuple(np.shape(v)):
+                    raise ValueError(
+                        f'shape mismatch at {"/".join(path + (k,))}: '
+                        f'model {tuple(dst[k].shape)} vs weight {np.shape(v)}')
+                dst[k] = np.asarray(v)
+
+    def count(tree) -> int:
+        return sum(1 for _ in _leaves(tree))
+
+    def _leaves(tree):
+        for v in tree.values():
+            if isinstance(v, dict):
+                yield from _leaves(v)
+            else:
+                yield v
+
+    out = {'params': clone(variables['params']),
+           'batch_stats': clone(variables.get('batch_stats') or {})}
+    overlay(out['params']['backbone'], backbone['params'])
+    if backbone.get('batch_stats'):
+        overlay(out['batch_stats']['backbone'], backbone['batch_stats'])
+    if strict:
+        n_model = count(out['params']['backbone']) + \
+            count(out['batch_stats'].get('backbone', {}))
+        n_weight = count(backbone['params']) + \
+            count(backbone.get('batch_stats', {}))
+        if n_model != n_weight:
+            raise ValueError(f'backbone weight covers {n_weight} tensors but '
+                             f'the model backbone has {n_model} (strict load)')
+    if not variables.get('batch_stats'):
+        out.pop('batch_stats')
+    return out
+
+
+def to_torch_state_dict(variables: dict) -> Dict[str, np.ndarray]:
+    """Reverse converter: our flax variables -> a reference-format state_dict
+    (numpy values, reference modules/yolact.py + resnet.py key names). The
+    inverse of convert_state_dict for resnet backbones; enables loading our
+    trained checkpoints into the reference torch model (cross-stack eval
+    parity, and an escape hatch back to the torch ecosystem)."""
+    out: Dict[str, np.ndarray] = {}
+
+    def conv_back(w):  # HWIO -> OIHW
+        return np.ascontiguousarray(np.transpose(np.asarray(w), (3, 2, 0, 1)))
+
+    params = variables['params']
+    stats = variables.get('batch_stats', {})
+    if any('stage' in k for k in params.get('backbone', {})):
+        raise NotImplementedError('reverse conversion implemented for '
+                                  'resnet backbones only')
+
+    def put_bn(prefix: str, p: dict, s: dict):
+        out[f'{prefix}.weight'] = np.asarray(p['scale'])
+        out[f'{prefix}.bias'] = np.asarray(p['bias'])
+        out[f'{prefix}.running_mean'] = np.asarray(s['mean'])
+        out[f'{prefix}.running_var'] = np.asarray(s['var'])
+
+    bb_p, bb_s = params['backbone'], stats.get('backbone', {})
+    for mod, p in bb_p.items():
+        if mod == 'conv1':
+            out['backbone.conv1.weight'] = conv_back(p['kernel'])
+        elif mod == 'bn1':
+            put_bn('backbone.bn1', p, bb_s['bn1'])
+        else:
+            m = re.match(r'^layer(\d+)_(\d+)$', mod)
+            assert m, f'unexpected backbone module {mod!r}'
+            stage, block = m.groups()
+            pre = f'backbone.layers.{stage}.{block}'
+            for leaf, v in p.items():
+                if leaf == 'downsample_conv':
+                    out[f'{pre}.downsample.0.weight'] = conv_back(v['kernel'])
+                elif leaf == 'downsample_bn':
+                    put_bn(f'{pre}.downsample.1', v, bb_s[mod][leaf])
+                elif leaf.startswith('conv'):
+                    out[f'{pre}.{leaf}.weight'] = conv_back(v['kernel'])
+                elif leaf.startswith('bn'):
+                    put_bn(f'{pre}.{leaf}', v, bb_s[mod][leaf])
+
+    for section, name_map in (('fpn', _FPN_MAP), ('proto_net', _PROTO_MAP),
+                              ('prediction_layers', _HEAD_MAP)):
+        rev = {ours: torch_name for torch_name, ours in name_map.items()}
+        for mod, p in params.get(section, {}).items():
+            out[f'{section}.{rev[mod]}.weight'] = conv_back(p['kernel'])
+            if 'bias' in p:
+                out[f'{section}.{rev[mod]}.bias'] = np.asarray(p['bias'])
+
+    if 'semantic_seg_conv' in params:
+        p = params['semantic_seg_conv']
+        out['semantic_seg_conv.weight'] = conv_back(p['kernel'])
+        out['semantic_seg_conv.bias'] = np.asarray(p['bias'])
+    return out
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
-    """Read a .pth file into numpy arrays (host-side torch, CPU only)."""
+    """Read a .pth file into numpy arrays (host-side torch, CPU only).
+    Unwraps the common {'model': ...} / {'state_dict': ...} containers used
+    by published backbone checkpoints."""
     import torch
-    sd = torch.load(path, map_location='cpu')
+    sd = torch.load(path, map_location='cpu', weights_only=False)
+    for wrapper in ('model', 'state_dict'):
+        if wrapper in sd and isinstance(sd[wrapper], dict):
+            sd = sd[wrapper]
+            break
     return {k: v.numpy() if hasattr(v, 'numpy') else np.asarray(v)
             for k, v in sd.items()}
 
