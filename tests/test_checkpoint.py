@@ -54,3 +54,67 @@ def test_filename_metadata_parsing():
     assert cfg_name_from_weight('weights/best_28.8_res50_coco_800000.pth') \
         == 'res50_coco'
     assert cfg_name_from_weight('latest_swin_tiny_coco_100.ckpt') == 'swin_tiny_coco'
+
+
+def test_opt_state_roundtrip_and_fast_forward(tmp_path):
+    """latest checkpoints carry optimizer state; resume restores momentum and
+    the LR-schedule position exactly, and legacy weights-only checkpoints get
+    their schedule counts fast-forwarded to the filename step."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolact_minimal_tpu.config import get_config
+    from yolact_minimal_tpu.train_state import (create_train_state,
+                                                fast_forward_schedule,
+                                                make_anchors_for,
+                                                make_train_step,
+                                                opt_state_to_payload,
+                                                restore_opt_state)
+
+    img = 64
+    cfg = get_config('res50_custom', mode='train', img_size=img, max_gt=2,
+                     train_bs=2)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step_fn = make_train_step(cfg, make_anchors_for(cfg))
+    rng = np.random.RandomState(0)
+    batch = dict(
+        image=rng.rand(2, img, img, 3).astype(np.float32),
+        boxes=np.tile(np.array([0.1, 0.1, 0.5, 0.5], np.float32), (2, 2, 1)),
+        labels=np.ones((2, 2), np.int32),
+        valid=np.ones((2, 2), bool),
+        masks_proto=np.ones((2, 2, img // 4, img // 4), np.float32),
+        masks_seg=np.ones((2, 2, img // 8, img // 8), np.float32),
+    )
+    state, _ = step_fn(state, batch, jax.random.PRNGKey(1))
+
+    payload = {'params': jax.device_get(state.params),
+               'batch_stats': jax.device_get(state.batch_stats),
+               'opt_state': opt_state_to_payload(state.opt_state),
+               'step': int(state.step)}
+    path = save_latest(payload, 'res50_custom', int(state.step),
+                       weight_dir=str(tmp_path))
+    back = load_checkpoint(path)
+
+    fresh = create_train_state(cfg, jax.random.PRNGKey(0),
+                               variables={'params': back['params'],
+                                          'batch_stats': back['batch_stats']},
+                               step=back['step'])
+    restored = restore_opt_state(fresh, back['opt_state'])
+    orig_leaves = jax.tree.leaves(jax.device_get(state.opt_state))
+    rest_leaves = jax.tree.leaves(jax.device_get(restored.opt_state))
+    assert len(orig_leaves) == len(rest_leaves)
+    for a, b in zip(orig_leaves, rest_leaves):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # legacy path: no payload -> counts fast-forwarded to the parsed step
+    ff = fast_forward_schedule(fresh, 12345)
+    import flax.serialization as fser
+    counts = []
+    def walk(d):
+        for k, v in d.items():
+            if k == 'count':
+                counts.append(int(v))
+            elif isinstance(v, dict):
+                walk(v)
+    walk(fser.to_state_dict(ff.opt_state))
+    assert counts and all(c == 12345 for c in counts)

@@ -2,9 +2,12 @@
 
 `best_{maskmAP}_{cfg}_{step}.ckpt` / `latest_{cfg}_{step}.ckpt` — exactly one
 of each kept per config, the step parsed back out of the name on resume
-(reference common_utils.py:41-63, train.py:51-53). Payload is the flax
-variables pytree ({'params', 'batch_stats'} plus optionally optimizer state)
-serialized with flax msgpack.
+(reference common_utils.py:41-63, train.py:51-53). Payload is a flax-msgpack
+dict: {'params', 'batch_stats'} always; `latest` checkpoints written by
+train.py additionally carry {'opt_state', 'step'} so resume restores SGD
+momentum / AdamW moments and the LR-schedule position exactly (the reference
+restarts both, common_utils.py:55-63 — this exceeds it). `best` checkpoints
+stay weights-only: they are eval/deploy artifacts.
 """
 from __future__ import annotations
 
@@ -38,7 +41,7 @@ def save_best(variables: dict, mask_map: float, cfg_name: str, step: int,
               weight_dir: str = 'weights') -> Optional[str]:
     """Keep exactly one best checkpoint per config; overwrite when the new
     mask mAP is >= the one parsed from the existing filename."""
-    existing = [w for w in glob.glob(osp.join(weight_dir, 'best*'))
+    existing = [w for w in glob.glob(osp.join(weight_dir, 'best*.ckpt'))
                 if cfg_name in osp.basename(w)]
     assert len(existing) <= 1, 'Multiple best checkpoints found.'
     best = float(osp.basename(existing[0]).split('_')[1]) if existing else 0.0
@@ -54,7 +57,7 @@ def save_best(variables: dict, mask_map: float, cfg_name: str, step: int,
 
 def save_latest(variables: dict, cfg_name: str, step: int,
                 weight_dir: str = 'weights') -> str:
-    existing = [w for w in glob.glob(osp.join(weight_dir, 'latest*'))
+    existing = [w for w in glob.glob(osp.join(weight_dir, 'latest*.ckpt'))
                 if cfg_name in osp.basename(w)]
     assert len(existing) <= 1, 'Multiple latest checkpoints found.'
     if existing:
@@ -73,7 +76,9 @@ def step_from_name(path: str) -> int:
 
 
 def load_weights_auto(path: str, include_semantic: bool) -> dict:
-    """Load either our .ckpt or a reference .pth (converted on the fly)."""
+    """Load either our .ckpt or a reference .pth (converted on the fly).
+    Inference callers get pure variables; train.py pops the optional
+    'opt_state'/'step' entries itself before building the model state."""
     if path.endswith('.pth'):
         from yolact_minimal_tpu.utils.weights import (convert_state_dict,
                                                       load_torch_checkpoint)
@@ -82,4 +87,6 @@ def load_weights_auto(path: str, include_semantic: bool) -> dict:
     variables = load_checkpoint(path)
     if not include_semantic:
         variables['params'].pop('semantic_seg_conv', None)
+        variables.pop('opt_state', None)
+        variables.pop('step', None)
     return variables
