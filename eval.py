@@ -24,11 +24,20 @@ from yolact_minimal_tpu.utils.progress import ProgressBar
 
 def evaluate(detector: Detector, cfg, step=None, max_images: int = -1):
     """Runs validation; returns (table, box_row, mask_row) like the
-    reference evaluate() (eval.py:28-108)."""
+    reference evaluate() (eval.py:28-108).
+
+    Unlike the reference's bs=1 loop (eval.py:30), images go through the
+    device in batches of cfg.val_bs with the tail padded to keep a single
+    compiled shape — on a remote-TPU link each dispatch+D2H round trip is
+    expensive, so batching directly multiplies eval throughput. Host tails
+    (mask upsample, metrics) stay per-image.
+    """
+    import jax
     import jax.numpy as jnp
 
     dataset = COCODetection(cfg, mode='val')
     n = len(dataset) if max_images == -1 else min(max_images, len(dataset))
+    bs = max(1, int(cfg.val_bs))
     progress = ProgressBar(40, n)
     timer.reset()
 
@@ -37,51 +46,62 @@ def evaluate(detector: Detector, cfg, step=None, max_images: int = -1):
 
     # prefetch the host-side decode/resize so cv2 overlaps device compute
     from concurrent.futures import ThreadPoolExecutor
-    pool = ThreadPoolExecutor(2)
-    futures = [pool.submit(dataset.get_val, i) for i in range(min(n, 4))]
+    pool = ThreadPoolExecutor(4)
+    ahead = 2 * bs + 2
+    futures = {i: pool.submit(dataset.get_val, i) for i in range(min(n, ahead))}
 
     last = None
-    for i in range(n):
-        if i == 1:
-            timer.start()
-        item = futures[i].result()
-        futures[i] = None   # don't retain every image for the whole eval
-        if len(futures) < n:
-            futures.append(pool.submit(dataset.get_val, len(futures)))
-        img = jnp.asarray(item['image'])[None]
+    done = 0
+    for batch_start in range(0, n, bs):
+        if batch_start == bs:
+            timer.start()   # exclude the first (compile/warm-up) batch
+        idxs = range(batch_start, min(batch_start + bs, n))
+        items = []
+        for i in idxs:
+            items.append(futures.pop(i).result())
+            if i + ahead < n:
+                futures[i + ahead] = pool.submit(dataset.get_val, i + ahead)
+        imgs = np.stack([it['image'] for it in items], 0)
+        if len(items) < bs:   # pad the tail batch to the compiled shape
+            imgs = np.concatenate(
+                [imgs, np.repeat(imgs[-1:], bs - len(items), axis=0)], 0)
 
         with timer.counter('forward+nms', fence=lambda: last):
-            dets, masks_proto, _ = detector(img)
+            dets, masks_proto, _ = detector(jnp.asarray(imgs))
             last = dets.scores
+        # one batched D2H fetch for the whole slate
+        dets_np, masks_np = jax.device_get((dets, masks_proto))
 
-        with timer.counter('after_nms'):
-            det0 = type(dets)(*(x[0] for x in dets))
-            ids, scores, boxes, masks = detector.postprocess_host(
-                det0, masks_proto[0], item['height'], item['width'])
+        for j, item in enumerate(items):
+            det0 = type(dets_np)(*(x[j] for x in dets_np))
+            with timer.counter('after_nms'):
+                ids, scores, boxes, masks = detector.postprocess_host(
+                    det0, masks_np[j], item['height'], item['width'])
 
-        with timer.counter('metric'):
-            if len(ids) != 0:
-                if cfg.coco_api:
-                    for j in range(len(ids)):
-                        b = boxes[j]
-                        if (b[3] - b[1]) * (b[2] - b[0]) > 0:
-                            make_json.add_bbox(item['image_id'], ids[j], b, scores[j])
-                            make_json.add_mask(item['image_id'], ids[j], masks[j], scores[j])
-                else:
-                    prep_metrics(ap_data, ids, scores, boxes, masks,
-                                 item['boxes'], item['labels'], item['masks'],
-                                 item['height'], item['width'])
+            with timer.counter('metric'):
+                if len(ids) != 0:
+                    if cfg.coco_api:
+                        for k in range(len(ids)):
+                            b = boxes[k]
+                            if (b[3] - b[1]) * (b[2] - b[0]) > 0:
+                                make_json.add_bbox(item['image_id'], ids[k], b, scores[k])
+                                make_json.add_mask(item['image_id'], ids[k], masks[k], scores[k])
+                    else:
+                        prep_metrics(ap_data, ids, scores, boxes, masks,
+                                     item['boxes'], item['labels'], item['masks'],
+                                     item['height'], item['width'])
+        done += len(items)
 
         now = time.perf_counter()
-        if i > 0:
+        if batch_start > 0:
             timer.add_batch_time(now - prev)
         prev = now
-        if i > 0:
+        if batch_start > 0:
             t_t, t_fn, t_an, t_me = timer.get_times(
                 ['batch', 'forward+nms', 'after_nms', 'metric'])
-            fps = 1 / max(t_fn + t_an, 1e-9)
-            print(f'\rTesting: {progress.get_bar(i + 1)} {i + 1}/{n}, '
-                  f'fps: {fps:.2f} | total fps: {1 / max(t_t, 1e-9):.2f} | '
+            fps = 1 / max(t_fn / bs + t_an, 1e-9)
+            print(f'\rTesting: {progress.get_bar(done)} {done}/{n}, '
+                  f'fps: {fps:.2f} | total fps: {bs / max(t_t, 1e-9):.2f} | '
                   f't_t: {t_t:.3f} | t_fwd_nms: {t_fn:.3f} | '
                   f't_after_nms: {t_an:.3f} | t_metric: {t_me:.3f}', end='')
 
@@ -105,6 +125,8 @@ def main():
     parser.add_argument('--weight', type=str, required=True)
     parser.add_argument('--img_size', type=int, default=544)
     parser.add_argument('--val_num', type=int, default=-1)
+    parser.add_argument('--val_bs', type=int, default=None,
+                        help='Device batch size for eval (default: cfg.val_bs).')
     parser.add_argument('--coco_api', action='store_true')
     parser.add_argument('--traditional_nms', action='store_true')
     parser.add_argument('--cfg', type=str, default=None,
@@ -112,9 +134,10 @@ def main():
     args = parser.parse_args()
 
     name = args.cfg or cfg_name_from_weight(args.weight)
+    overrides = {} if args.val_bs is None else {'val_bs': args.val_bs}
     cfg = get_config(name, mode='val', img_size=args.img_size,
                      val_num=args.val_num, coco_api=args.coco_api,
-                     traditional_nms=args.traditional_nms)
+                     traditional_nms=args.traditional_nms, **overrides)
     cfg.print_cfg()
 
     from yolact_minimal_tpu.utils.checkpoint import load_weights_auto

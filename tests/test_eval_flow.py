@@ -23,31 +23,33 @@ class StubDetector:
         self._i = 0
 
     def __call__(self, images):
-        item = self.ds.get_val(self._i)
-        self._i += 1
+        b = images.shape[0]   # evaluate() batches and pads the tail
         d = self.cfg.max_detections
-        boxes = np.zeros((d, 4), np.float32)
-        scores = np.zeros(d, np.float32)
-        ids = np.zeros(d, np.int32)
-        valid = np.zeros(d, bool)
         ph = pw = self.cfg.img_size // 4
-        masks_proto = np.zeros((ph, pw, d), np.float32)
-        if self.perfect:
-            n = len(item['labels'])
-            boxes[:n] = item['boxes']
-            scores[:n] = 0.9
-            ids[:n] = item['labels']
-            valid[:n] = True
-            # proto-res masks resampled from gt (square images in fixture)
-            import cv2
-            for j in range(n):
-                m = cv2.resize(item['masks'][j].astype(np.float32), (pw, ph),
-                               interpolation=cv2.INTER_LINEAR)
-                masks_proto[:, :, j] = (m > 0.5)
-        dets = Detections(jnp.asarray(ids)[None], jnp.asarray(scores)[None],
-                          jnp.asarray(boxes)[None], jnp.zeros((1, d, 32))[None][0],
-                          jnp.asarray(valid)[None])
-        return dets, jnp.asarray(masks_proto)[None], None
+        boxes = np.zeros((b, d, 4), np.float32)
+        scores = np.zeros((b, d), np.float32)
+        ids = np.zeros((b, d), np.int32)
+        valid = np.zeros((b, d), bool)
+        masks_proto = np.zeros((b, ph, pw, d), np.float32)
+        for row in range(b):
+            item = self.ds.get_val(min(self._i + row, len(self.ds) - 1))
+            if self.perfect:
+                n = len(item['labels'])
+                boxes[row, :n] = item['boxes']
+                scores[row, :n] = 0.9
+                ids[row, :n] = item['labels']
+                valid[row, :n] = True
+                # proto-res masks resampled from gt (square fixture images)
+                import cv2
+                for j in range(n):
+                    m = cv2.resize(item['masks'][j].astype(np.float32),
+                                   (pw, ph), interpolation=cv2.INTER_LINEAR)
+                    masks_proto[row, :, :, j] = (m > 0.5)
+        self._i += b
+        dets = Detections(jnp.asarray(ids), jnp.asarray(scores),
+                          jnp.asarray(boxes), jnp.zeros((b, d, 32)),
+                          jnp.asarray(valid))
+        return dets, jnp.asarray(masks_proto), None
 
     def postprocess_host(self, dets, masks_proto, h, w, visual_thre=None):
         from yolact_minimal_tpu.pipeline import Detector
