@@ -76,10 +76,16 @@ def prep_metrics(ap_data: Dict, ids_p, scores_p, boxes_p, masks_p,
       masks_p [D, h, w] binary; gt_boxes [G, 4] normalized xyxy;
       gt_classes [G] int; gt_masks [G, h, w] binary.
     """
-    gt_boxes = gt_boxes * np.array([width, height, width, height], np.float32)
-    gtm = gt_masks.reshape(len(gt_classes), -1).astype(np.float32)
-    pm = masks_p.reshape(len(ids_p), -1).astype(np.float32)
+    gt_boxes = np.asarray(gt_boxes, np.float32).reshape(len(gt_classes), 4) \
+        * np.array([width, height, width, height], np.float32)
+    gtm = np.asarray(gt_masks).reshape(
+        len(gt_classes), height * width).astype(np.float32)
+    pm = np.asarray(masks_p).reshape(
+        len(ids_p), height * width).astype(np.float32)
 
+    # One full-matrix BLAS gemm for mask IoU: measured faster than per-class
+    # blocks (fancy-index copies + small-gemm overhead) and ~8x faster than a
+    # packbits+popcount formulation at 544px.
     inter_m = pm @ gtm.T
     union_m = pm.sum(1)[:, None] + gtm.sum(1)[None, :] - inter_m
     mask_iou = np.where(union_m > 0, inter_m / np.maximum(union_m, 1e-9), 0.0)
@@ -94,29 +100,41 @@ def prep_metrics(ap_data: Dict, ids_p, scores_p, boxes_p, masks_p,
     area_g = (gb[:, 2] - gb[:, 0]) * (gb[:, 3] - gb[:, 1])
     box_iou = inter / np.maximum(area_p[:, None] + area_g[None, :] - inter, 1e-9)
 
-    ids_p = [int(i) for i in ids_p]
-    gt_classes = [int(c) for c in gt_classes]
-    for _class in set(ids_p + gt_classes):
-        num_gt = gt_classes.count(_class)
-        for ti, thre in enumerate(IOU_THRESHOLDS):
-            for kind, iou in (('box', box_iou), ('mask', mask_iou)):
-                ap_obj = ap_data[kind][ti][_class]
+    # Greedy pred->gt matching, vectorized over the 10 IoU thresholds (and
+    # the gt axis) — the reference's triple python loop (common_utils.py:
+    # 185-216) was the eval bottleneck (SURVEY Hard part #6). Semantics are
+    # preserved exactly: predictions in the given (score-sorted) order, the
+    # first gt attaining the row maximum wins (np.argmax tie-break == the
+    # reference's strict `>` scan), IoU must exceed the threshold strictly,
+    # each gt is consumed once per (kind, threshold) cell.
+    ids_np = np.asarray(ids_p, dtype=np.int64)
+    gts_np = np.asarray(gt_classes, dtype=np.int64)
+    thres = np.asarray(IOU_THRESHOLDS, dtype=np.float64)
+    n_thre = len(IOU_THRESHOLDS)
+    for _class in np.union1d(ids_np, gts_np):
+        pred_idx = np.nonzero(ids_np == _class)[0]
+        gt_cols = np.nonzero(gts_np == _class)[0]
+        num_gt = len(gt_cols)
+        for kind in ('box', 'mask'):
+            ap_objs = [ap_data[kind][ti][_class] for ti in range(n_thre)]
+            for ap_obj in ap_objs:
                 ap_obj.add_gt_positives(num_gt)
-                used = [False] * len(gt_classes)
-                for i, pc in enumerate(ids_p):
-                    if pc != _class:
-                        continue
-                    best, best_j = thre, -1
-                    for j, gc in enumerate(gt_classes):
-                        if used[j] or gc != _class:
-                            continue
-                        if iou[i, j] > best:
-                            best, best_j = iou[i, j], j
-                    if best_j >= 0:
-                        used[best_j] = True
-                        ap_obj.push(float(scores_p[i]), True)
-                    else:
-                        ap_obj.push(float(scores_p[i]), False)
+            if len(pred_idx) == 0:
+                continue
+            used = np.zeros((n_thre, num_gt), bool)
+            iou = box_iou if kind == 'box' else mask_iou
+            sub = iou[np.ix_(pred_idx, gt_cols)]          # [P, Gc]
+            for i, row in zip(pred_idx, sub):
+                score = float(scores_p[i])
+                if num_gt:
+                    ok = (~used) & (row[None, :] > thres[:, None])
+                    hit = ok.any(axis=1)
+                    best_j = np.where(ok, row[None, :], -1.0).argmax(axis=1)
+                    used[hit, best_j[hit]] = True
+                else:
+                    hit = np.zeros(n_thre, bool)
+                for ti in range(n_thre):
+                    ap_objs[ti].push(score, bool(hit[ti]))
 
 
 def calc_map(ap_data: Dict, num_classes: int, step=None):
