@@ -1,10 +1,16 @@
 #!/usr/bin/env python
-"""End-to-end detect throughput benchmark on one TPU chip.
+"""End-to-end throughput benchmark on one TPU chip.
 
-Measures the full on-device detect path — forward + box decode + fast-NMS +
-lincomb mask assembly + mask upsample/binarize (detect_fixed) — at the
-reference's 544x544 eval size (the nearest /32 size to the 550 headline) and
-prints ONE JSON line. Baseline: 200 img/s (BASELINE.md north star).
+Headline: the full on-device detect path — forward + box decode + fast-NMS +
+lincomb mask assembly + mask upsample/binarize (detect_fixed) — for
+res50_coco at the reference's 544x544 eval size (nearest /32 size to the 550
+headline), bf16, batch 16. Baseline: 200 img/s (BASELINE.md north star).
+
+Prints ONE JSON line. The default run also sweeps the other two published
+backbones (res101, swin_tiny) and a res50 train step at 256px, reporting
+them (with rough MFU estimates from XLA's compiled cost analysis against the
+v5e peak) under "extra". --quick runs the headline only; --cfg/--img_size/
+--batch benchmark a single custom point.
 """
 from __future__ import annotations
 
@@ -13,53 +19,149 @@ import time
 
 import numpy as np
 
+V5E_PEAK_FLOPS = {'bfloat16': 197e12, 'float32': 98.5e12}
 
-def main():
-    import argparse
+
+def _mfu(flops_per_call, calls_per_s, dtype):
+    if not flops_per_call:
+        return None
+    return round(flops_per_call * calls_per_s / V5E_PEAK_FLOPS[dtype], 4)
+
+
+def _cost_flops(lowered):
+    """FLOPs of a compiled computation via XLA cost analysis (None if the
+    backend doesn't expose it)."""
+    try:
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get('flops', 0.0)) or None
+    except Exception:
+        return None
+
+
+def bench_detect(cfg_name: str, img_size: int, batch: int,
+                 dtype: str = 'bfloat16', n_iters: int = 20):
+    """img/s of the fully on-device detect path, plus forward-only MFU."""
     import jax
     import jax.numpy as jnp
 
     from yolact_minimal_tpu.config import get_config
-    from yolact_minimal_tpu.pipeline import Detector
     from yolact_minimal_tpu.models.yolact import Yolact
+    from yolact_minimal_tpu.pipeline import Detector
 
-    p = argparse.ArgumentParser()
-    p.add_argument('--img_size', type=int, default=544)
-    p.add_argument('--batch', type=int, default=16)
-    args = p.parse_args()
-    img_size = args.img_size
-    batch = args.batch
-    cfg = get_config('res50_coco', mode='val', img_size=img_size,
-                     compute_dtype='bfloat16')
+    cfg = get_config(cfg_name, mode='val', img_size=img_size,
+                     compute_dtype=dtype)
     model = Yolact(cfg=cfg, train_mode=False)
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, img_size, img_size, 3), jnp.float32),
                            train=False)
     det = Detector(cfg, variables)
-
     images = jnp.asarray(
         np.random.RandomState(0).rand(batch, img_size, img_size, 3)
         .astype(np.float32))
 
-    # warmup + compile
-    out = det.detect_fixed(images, img_size)
+    out = det.detect_fixed(images, img_size)     # compile + warmup
     jax.block_until_ready(out[1])
 
-    n_iters = 20
     t0 = time.perf_counter()
     for _ in range(n_iters):
         out = det.detect_fixed(images, img_size)
     jax.block_until_ready(out[1])
     dt = time.perf_counter() - t0
-
     imgs_per_s = n_iters * batch / dt
-    print(json.dumps({
-        'metric': f'end-to-end detect img/s at {img_size}x{img_size}, '
-                  f'res50_coco, bf16, batch {batch}, single chip',
-        'value': round(imgs_per_s, 2),
+
+    flops = _cost_flops(jax.jit(
+        lambda v, x: model.apply(v, x, train=False)
+    ).lower(det.variables, images))
+    return {'img_per_s': round(imgs_per_s, 2),
+            'mfu': _mfu(flops, n_iters / dt, dtype)}
+
+
+def bench_train_step(cfg_name: str, img_size: int, batch: int,
+                     n_iters: int = 10):
+    """img/s of the jitted train step (fwd+bwd, all four losses, optimizer)
+    on a device-resident batch — isolates device throughput from the host
+    input pipeline."""
+    import jax
+
+    from yolact_minimal_tpu.config import get_config
+    from yolact_minimal_tpu.train_state import (create_train_state,
+                                                make_anchors_for,
+                                                make_train_step)
+
+    cfg = get_config(cfg_name, mode='train', img_size=img_size,
+                     train_bs=batch, max_gt=16)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step_fn = make_train_step(cfg, make_anchors_for(cfg))
+
+    rng = np.random.RandomState(0)
+    g = cfg.max_gt
+    xy1 = rng.uniform(0, 0.5, size=(batch, g, 2)).astype(np.float32)
+    wh = rng.uniform(0.2, 0.4, size=(batch, g, 2)).astype(np.float32)
+    batch_d = jax.device_put(dict(
+        image=rng.rand(batch, img_size, img_size, 3).astype(np.float32),
+        boxes=np.concatenate([xy1, xy1 + wh], axis=2),
+        labels=rng.randint(0, len(cfg.class_names), (batch, g)).astype(np.int32),
+        valid=np.ones((batch, g), bool),
+        masks_proto=(rng.rand(batch, g, img_size // 4, img_size // 4) > 0.5)
+        .astype(np.float32),
+        masks_seg=(rng.rand(batch, g, img_size // 8, img_size // 8) > 0.5)
+        .astype(np.float32)))
+
+    key = jax.random.PRNGKey(1)
+    state, losses = step_fn(state, batch_d, key)     # compile + warmup
+    jax.block_until_ready(losses.total)
+
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state, losses = step_fn(state, batch_d, key)
+    jax.block_until_ready(losses.total)
+    dt = time.perf_counter() - t0
+    return {'img_per_s': round(n_iters * batch / dt, 2)}
+
+
+def main():
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument('--img_size', type=int, default=544)
+    p.add_argument('--batch', type=int, default=16)
+    p.add_argument('--cfg', type=str, default='res50_coco')
+    p.add_argument('--quick', action='store_true',
+                   help='Headline number only, skip the sweep.')
+    p.add_argument('--train', action='store_true',
+                   help='Benchmark the train step for --cfg instead.')
+    args = p.parse_args()
+
+    if args.train:
+        r = bench_train_step(args.cfg, args.img_size, args.batch)
+        print(json.dumps({
+            'metric': f'train-step img/s at {args.img_size}px, {args.cfg}, '
+                      f'batch {args.batch}, single chip',
+            'value': r['img_per_s'], 'unit': 'img/s', 'vs_baseline': None}))
+        return
+
+    head = bench_detect(args.cfg, args.img_size, args.batch)
+    result = {
+        'metric': f'end-to-end detect img/s at {args.img_size}x{args.img_size}'
+                  f', {args.cfg}, bf16, batch {args.batch}, single chip',
+        'value': head['img_per_s'],
         'unit': 'img/s',
-        'vs_baseline': round(imgs_per_s / 200.0, 3),
-    }))
+        'vs_baseline': round(head['img_per_s'] / 200.0, 3),
+    }
+    if not args.quick:
+        extra = {f'{args.cfg}_detect_{args.img_size}_mfu': head['mfu']}
+        for name in ('res101_coco', 'swin_tiny_coco'):
+            if name == args.cfg:
+                continue
+            r = bench_detect(name, args.img_size, args.batch)
+            extra[f'{name}_detect_{args.img_size}_img_per_s'] = r['img_per_s']
+            extra[f'{name}_detect_{args.img_size}_mfu'] = r['mfu']
+        t = bench_train_step('res50_coco', 256, 8)
+        extra['res50_coco_train_step_256_bs8_img_per_s'] = t['img_per_s']
+        result['extra'] = extra
+    print(json.dumps(result))
 
 
 if __name__ == '__main__':
