@@ -61,13 +61,17 @@ def bench_detect(cfg_name: str, img_size: int, batch: int,
         np.random.RandomState(0).rand(batch, img_size, img_size, 3)
         .astype(np.float32))
 
+    # NOTE on timing: on the tunneled TPU backend jax.block_until_ready can
+    # return before execution finishes — fetching a small piece of the last
+    # output is the only reliable drain (validated against a known-FLOPs
+    # matmul chain: 30 ms/call measured vs 28 ms theoretical floor).
     out = det.detect_fixed(images, img_size)     # compile + warmup
-    jax.block_until_ready(out[1])
+    jax.device_get(out[0].scores[0, 0])
 
     t0 = time.perf_counter()
     for _ in range(n_iters):
         out = det.detect_fixed(images, img_size)
-    jax.block_until_ready(out[1])
+    jax.device_get(out[0].scores[0, 0])          # drain the dispatch queue
     dt = time.perf_counter() - t0
     imgs_per_s = n_iters * batch / dt
 
@@ -111,12 +115,12 @@ def bench_train_step(cfg_name: str, img_size: int, batch: int,
 
     key = jax.random.PRNGKey(1)
     state, losses = step_fn(state, batch_d, key)     # compile + warmup
-    jax.block_until_ready(losses.total)
+    jax.device_get(losses.total)                     # real drain (see note above)
 
     t0 = time.perf_counter()
     for _ in range(n_iters):
         state, losses = step_fn(state, batch_d, key)
-    jax.block_until_ready(losses.total)
+    jax.device_get(losses.total)
     dt = time.perf_counter() - t0
     return {'img_per_s': round(n_iters * batch / dt, 2)}
 

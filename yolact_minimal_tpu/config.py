@@ -109,6 +109,15 @@ class Config:
     nms_iou_thre: float = 0.5
     top_k: int = 200
     max_detections: int = 100
+    # Candidate-anchor cap before the per-class top_k. lax.top_k lowers to a
+    # full O(A log^2 A) sort per class row on TPU — 24 ms/batch16 at 18525
+    # anchors x 80 classes (measured v5e). Ranking anchors once by max-class
+    # score and running the per-class top_k inside the top `nms_pre_topk`
+    # candidates cuts that to ~5 ms and is EXACT whenever at most this many
+    # anchors pass nms_score_thre in one image (real images: a few hundred);
+    # beyond the cap the lowest max-score anchors are dropped first. Set <= 0
+    # to disable the preselect.
+    nms_pre_topk: int = 1024
 
     # detect-mode options (reference detect.py argparse surface)
     visual_thre: float = 0.3

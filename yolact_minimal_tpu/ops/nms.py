@@ -110,7 +110,7 @@ def _suppress_and_select(planes, coefs, cls_scores, idx, top_k, iou_thre,
 def detect_postprocess(class_pred: jnp.ndarray, box_pred: jnp.ndarray,
                        coef_pred: jnp.ndarray, anchors: jnp.ndarray,
                        score_thre: float, iou_thre: float, top_k: int,
-                       max_detections: int) -> Detections:
+                       max_detections: int, pre_topk: int = 1024) -> Detections:
     """Decode + threshold + fast-NMS for ONE image (reference nms(),
     output_utils.py:126-163). Inputs are the model's eval outputs with the
     batch dim removed: class_pred [A, C] (softmaxed), box_pred [A, 4],
@@ -121,28 +121,48 @@ def detect_postprocess(class_pred: jnp.ndarray, box_pred: jnp.ndarray,
     full per-class score column in the sort — sub-threshold per-class scores
     can survive NMS and reach the global top-k, exactly as in the reference.
 
+    `pre_topk` ranks anchors once by max-class score and restricts the
+    per-class top_k (the hot sort: lax.top_k lowers to a full bitonic sort,
+    ~O(A log^2 A) HBM passes — 24 ms/batch16 on v5e at 18525 anchors x 80
+    classes) to those candidates, cutting it to ~5 ms. Exact whenever at most
+    `pre_topk` anchors pass score_thre (real images: a few hundred); in
+    overflow the lowest max-score anchors drop first. <=0 disables.
+
     (A decode-after-gather coordinate-plane variant was measured SLOWER in
     the fused bf16 detect graph despite winning in isolated microbenches —
     XLA fuses the dense decode well; the 8 per-coordinate gathers do not.)
     """
-    scores = class_pred[:, 1:].T                            # [C-1, A], drop bg
-    keep = jnp.max(scores, axis=0) > score_thre             # [A]
-    masked = jnp.where(keep[None, :], scores, NEG_INF)
-    k = min(top_k, scores.shape[1])
-    cls_scores, idx = jax.lax.top_k(masked, k)              # [C-1, K]
+    scores_all = class_pred[:, 1:]                          # [A, C-1], drop bg
+    num_anchors = scores_all.shape[0]
 
-    boxes = decode(box_pred, anchors, clip=True)
+    if 0 < pre_topk < num_anchors:
+        maxs = jnp.max(scores_all, axis=1)                  # [A]
+        max_vals, sel = jax.lax.top_k(maxs, pre_topk)       # [M]
+        keep = max_vals > score_thre
+        scores = jnp.where(keep[:, None], scores_all[sel], NEG_INF).T
+        boxes = decode(box_pred[sel], anchors[sel], clip=True)  # [M, 4]
+    else:
+        sel = None
+        keep = jnp.max(scores_all, axis=1) > score_thre     # [A]
+        scores = jnp.where(keep[:, None], scores_all, NEG_INF).T
+        boxes = decode(box_pred, anchors, clip=True)
+
+    k = min(top_k, scores.shape[1])
+    cls_scores, idx = jax.lax.top_k(scores, k)              # [C-1, K]
     cls_boxes = boxes[idx]                                  # [C-1, K, 4]
     planes = tuple(cls_boxes[..., i] for i in range(4))
-    return _suppress_and_select(planes, coef_pred, cls_scores, idx,
+    anchor_idx = idx if sel is None else sel[idx]           # ids in anchor space
+    return _suppress_and_select(planes, coef_pred, cls_scores, anchor_idx,
                                 k, iou_thre, max_detections)
 
 
 def detect_postprocess_batch(class_pred, box_pred, coef_pred, anchors,
-                             score_thre, iou_thre, top_k, max_detections):
+                             score_thre, iou_thre, top_k, max_detections,
+                             pre_topk: int = 1024):
     """vmapped over the batch dimension."""
     fn = partial(detect_postprocess, anchors=anchors, score_thre=score_thre,
-                 iou_thre=iou_thre, top_k=top_k, max_detections=max_detections)
+                 iou_thre=iou_thre, top_k=top_k, max_detections=max_detections,
+                 pre_topk=pre_topk)
     return jax.vmap(fn)(class_pred, box_pred, coef_pred)
 
 

@@ -14,12 +14,15 @@ upsample+binarize on device.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import cv2
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+_USE_PALLAS_MASKS = os.environ.get('YOLACT_PALLAS_MASKS', '0') == '1'
 
 from yolact_minimal_tpu.config import Config
 from yolact_minimal_tpu.models.yolact import Yolact
@@ -49,7 +52,8 @@ class Detector:
                                                              train=False)
             dets = detect_postprocess_batch(
                 class_p, box_p, coef_p, self.anchors, cfg.nms_score_thre,
-                cfg.nms_iou_thre, cfg.top_k, cfg.max_detections)
+                cfg.nms_iou_thre, cfg.top_k, cfg.max_detections,
+                getattr(cfg, 'nms_pre_topk', 1024))
             masks_proto = jax.vmap(
                 functools.partial(assemble_masks, do_crop=not cfg.no_crop)
             )(proto, dets)
@@ -59,8 +63,34 @@ class Detector:
 
         @functools.partial(jax.jit, static_argnums=(2,))
         def _infer_fixed(variables, images, out_size):
-            dets, masks_proto, _ = _infer(variables, images)
-            masks = jax.vmap(lambda m: finalize_masks_fixed(m, out_size))(masks_proto)
+            class_p, box_p, coef_p, proto = self.model.apply(variables, images,
+                                                             train=False)
+            dets = detect_postprocess_batch(
+                class_p, box_p, coef_p, self.anchors, cfg.nms_score_thre,
+                cfg.nms_iou_thre, cfg.top_k, cfg.max_detections,
+                getattr(cfg, 'nms_pre_topk', 1024))
+            # Opt-in fused Pallas finalize (lincomb+crop+4x upsample+
+            # binarize in VMEM, YOLACT_PALLAS_MASKS=1). Measured SLOWER than
+            # the XLA pair on v5e (533 vs 566 img/s end-to-end): XLA's
+            # producer-consumer fusion already keeps the chain in registers
+            # and pipelines the whole batch, while the kernel re-runs the
+            # lincomb per row band. Kept as a validated alternative; see
+            # docs/ARCHITECTURE.md.
+            # (backend check: Pallas TPU kernels can't lower on the CPU
+            # test mesh; the tunneled TPU registers as platform 'axon')
+            if (_USE_PALLAS_MASKS and out_size == 4 * proto.shape[1]
+                    and jax.default_backend() != 'cpu'):
+                from yolact_minimal_tpu.ops.pallas_masks import \
+                    fused_mask_finalize
+                masks = fused_mask_finalize(proto, dets.coefs, dets.boxes,
+                                            dets.valid, out_size,
+                                            not cfg.no_crop)
+            else:
+                masks_proto = jax.vmap(
+                    functools.partial(assemble_masks, do_crop=not cfg.no_crop)
+                )(proto, dets)
+                masks = jax.vmap(
+                    lambda m: finalize_masks_fixed(m, out_size))(masks_proto)
             return dets, masks
 
         self._infer_fixed = _infer_fixed
