@@ -155,15 +155,24 @@ def main():
         'vs_baseline': round(head['img_per_s'] / 200.0, 3),
     }
     if not args.quick:
+        # Each sweep point is best-effort: on the tunneled TPU the worker can
+        # crash on large fresh compiles (observed with swin at 544/b16); the
+        # headline JSON must still print.
         extra = {f'{args.cfg}_detect_{args.img_size}_mfu': head['mfu']}
         for name in ('res101_coco', 'swin_tiny_coco'):
             if name == args.cfg:
                 continue
-            r = bench_detect(name, args.img_size, args.batch)
-            extra[f'{name}_detect_{args.img_size}_img_per_s'] = r['img_per_s']
-            extra[f'{name}_detect_{args.img_size}_mfu'] = r['mfu']
-        t = bench_train_step('res50_coco', 256, 8)
-        extra['res50_coco_train_step_256_bs8_img_per_s'] = t['img_per_s']
+            try:
+                r = bench_detect(name, args.img_size, args.batch)
+                extra[f'{name}_detect_{args.img_size}_img_per_s'] = r['img_per_s']
+                extra[f'{name}_detect_{args.img_size}_mfu'] = r['mfu']
+            except Exception as e:  # noqa: BLE001
+                extra[f'{name}_detect_{args.img_size}_error'] = str(e)[:200]
+        try:
+            t = bench_train_step('res50_coco', 256, 8)
+            extra['res50_coco_train_step_256_bs8_img_per_s'] = t['img_per_s']
+        except Exception as e:  # noqa: BLE001
+            extra['res50_coco_train_step_error'] = str(e)[:200]
         result['extra'] = extra
     print(json.dumps(result))
 
