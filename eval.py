@@ -131,6 +131,11 @@ def main():
     parser.add_argument('--traditional_nms', action='store_true')
     parser.add_argument('--cfg', type=str, default=None,
                         help='Override config name (else parsed from weight).')
+    parser.add_argument('--data_parallel', type=int, default=0,
+                        help='Shard each eval batch over this many devices '
+                             '(0 = single device). val_bs must be a '
+                             'multiple; the reference evaluates on one GPU '
+                             'only.')
     args = parser.parse_args()
 
     name = args.cfg or cfg_name_from_weight(args.weight)
@@ -142,7 +147,16 @@ def main():
 
     from yolact_minimal_tpu.utils.checkpoint import load_weights_auto
     variables = load_weights_auto(args.weight, include_semantic=False)
-    detector = Detector(cfg, variables)
+    mesh = None
+    if args.data_parallel:
+        from yolact_minimal_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(args.data_parallel)
+        if cfg.val_bs % args.data_parallel:
+            cfg.val_bs = args.data_parallel * max(
+                1, cfg.val_bs // args.data_parallel)
+            print(f'val_bs rounded to {cfg.val_bs} for the '
+                  f'{args.data_parallel}-device mesh.')
+    detector = Detector(cfg, variables, mesh=mesh)
     evaluate(detector, cfg, max_images=cfg.val_num)
 
 

@@ -33,16 +33,28 @@ from yolact_minimal_tpu.ops.nms import (Detections, assemble_masks,
 
 
 class Detector:
-    """Wraps a config + variables into jitted detect functions."""
+    """Wraps a config + variables into jitted detect functions.
 
-    def __init__(self, cfg: Config, variables: dict):
+    With `mesh` (a 1-D `data` jax.sharding.Mesh), inference runs
+    data-parallel: parameters are replicated, the image batch is sharded on
+    its leading axis, and XLA splits the whole forward+NMS graph across the
+    mesh — the eval-side counterpart of the training DP step (the reference
+    evaluates on one GPU only, eval.py:30; this exceeds it).
+    """
+
+    def __init__(self, cfg: Config, variables: dict, mesh=None):
         self.cfg = cfg
+        self.mesh = mesh
         self.model = Yolact(cfg=cfg, train_mode=False)
         # Pin weights on device once — passing host numpy through jit would
         # re-upload the full parameter set on every call.
-        self.variables = jax.device_put({
-            'params': variables['params'],
-            'batch_stats': variables.get('batch_stats', {})})
+        weights = {'params': variables['params'],
+                   'batch_stats': variables.get('batch_stats', {})}
+        if mesh is not None:
+            from yolact_minimal_tpu.parallel.mesh import replicated
+            self.variables = jax.device_put(weights, replicated(mesh))
+        else:
+            self.variables = jax.device_put(weights)
         self.anchors = jnp.asarray(make_anchors(cfg.img_size, cfg.aspect_ratios,
                                                 cfg.scales))
 
@@ -109,9 +121,22 @@ class Detector:
     def update_variables(self, variables: dict):
         """Swap in new weights without retracing the jitted graphs (used by
         in-training validation so each val round reuses the compiled fns)."""
-        self.variables = jax.device_put({
-            'params': variables['params'],
-            'batch_stats': variables.get('batch_stats', {})})
+        weights = {'params': variables['params'],
+                   'batch_stats': variables.get('batch_stats', {})}
+        if self.mesh is not None:
+            from yolact_minimal_tpu.parallel.mesh import replicated
+            self.variables = jax.device_put(weights, replicated(self.mesh))
+        else:
+            self.variables = jax.device_put(weights)
+
+    def _shard(self, images: jnp.ndarray) -> jnp.ndarray:
+        if self.mesh is None:
+            return images
+        from yolact_minimal_tpu.parallel.mesh import batch_sharding
+        n = self.mesh.devices.size
+        assert images.shape[0] % n == 0, \
+            f'batch {images.shape[0]} not divisible by mesh size {n}'
+        return jax.device_put(images, batch_sharding(self.mesh))
 
     def __call__(self, images: jnp.ndarray):
         """images [B, S, S, 3] normalized RGB -> (Detections, masks_proto
@@ -119,7 +144,7 @@ class Detector:
         host numpy slates (same shapes/interface) for --traditional_nms."""
         if self.cfg.traditional_nms:
             return self._call_traditional(images)
-        return self._infer(self.variables, images)
+        return self._infer(self.variables, self._shard(images))
 
     def _call_traditional(self, images: jnp.ndarray):
         """--traditional_nms dispatch (reference output_utils.py:126-134):
@@ -160,7 +185,7 @@ class Detector:
 
     def detect_fixed(self, images: jnp.ndarray, out_size: int):
         """Fully on-device detect with square binarized masks [B, D, S, S]."""
-        return self._infer_fixed(self.variables, images, out_size)
+        return self._infer_fixed(self.variables, self._shard(images), out_size)
 
     def postprocess_host(self, dets: Detections, masks_proto, img_h: int,
                          img_w: int, visual_thre: Optional[float] = None
