@@ -64,6 +64,10 @@ def main():
     parser.add_argument('--num_workers', type=int, default=8)
     parser.add_argument('--compute_dtype', default='float32',
                         choices=['float32', 'bfloat16'])
+    parser.add_argument('--remat', action='store_true',
+                        help='Rematerialize backbone blocks in the backward '
+                             'pass (less activation memory, extra forward '
+                             'FLOPs) — for large images/batches.')
     parser.add_argument('--max_steps', type=int, default=-1,
                         help='Stop early after this many steps (debug).')
     parser.add_argument('--lr', type=float, default=None,
@@ -81,7 +85,7 @@ def main():
     cfg = get_config(args.cfg, mode='train', img_size=args.img_size,
                      train_bs=args.train_bs, val_interval=args.val_interval,
                      val_num=args.val_num, coco_api=args.coco_api,
-                     compute_dtype=args.compute_dtype,
+                     compute_dtype=args.compute_dtype, remat=args.remat,
                      traditional_nms=args.traditional_nms, **overrides)
     main_proc = is_main_process()
     if main_proc:

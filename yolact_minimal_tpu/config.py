@@ -138,6 +138,11 @@ class Config:
 
     # numerics: params always f32; compute dtype selectable for speed.
     compute_dtype: str = 'float32'           # float32 | bfloat16
+    # Rematerialize backbone blocks in the backward pass (jax.checkpoint):
+    # activation memory drops to ~one block, at the cost of an extra forward
+    # recompute — enables fp32/large-image training that otherwise exhausts
+    # HBM (the fp32 544px train step was observed to kill the v5e worker).
+    remat: bool = False
 
     def __post_init__(self):
         assert self.img_size % 32 == 0, \

@@ -149,9 +149,11 @@ class SwinBlock(nn.Module):
     shift: int
     drop_path_rate: float
     dtype: jnp.dtype = jnp.float32
+    train: bool = False    # attribute, not call arg: nn.remat-friendly
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x):
+        train = self.train
         b, h, w, c = x.shape
         shortcut = x
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name='norm1')(x)
@@ -216,14 +218,17 @@ class SwinStage(nn.Module):
     drop_path_rates: Sequence[float]
     downsample: bool
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        block_cls = nn.remat(SwinBlock) if self.remat else SwinBlock
         for i in range(self.depth):
-            x = SwinBlock(self.dim, self.num_heads,
+            x = block_cls(self.dim, self.num_heads,
                           shift=0 if i % 2 == 0 else WINDOW // 2,
                           drop_path_rate=self.drop_path_rates[i],
-                          dtype=self.dtype, name=f'block{i}')(x, train=train)
+                          dtype=self.dtype, train=train,
+                          name=f'block{i}')(x)
         down = PatchMerging(self.dim, dtype=self.dtype,
                             name='downsample')(x) if self.downsample else x
         return x, down
@@ -238,6 +243,7 @@ class SwinTiny(nn.Module):
     num_heads: Tuple[int, ...] = (3, 6, 12, 24)
     drop_path_rate: float = 0.2
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False    # rematerialize each block in the backward pass
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -259,7 +265,8 @@ class SwinTiny(nn.Module):
                 dim=dim, depth=depth, num_heads=self.num_heads[i],
                 drop_path_rates=tuple(dpr[off:off + depth]),
                 downsample=(i < len(self.depths) - 1),
-                dtype=self.dtype, name=f'stage{i}')(x, train=train)
+                dtype=self.dtype, remat=self.remat,
+                name=f'stage{i}')(x, train=train)
             off += depth
             if i in (1, 2, 3):
                 x_out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,

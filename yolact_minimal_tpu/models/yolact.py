@@ -113,13 +113,16 @@ class Yolact(nn.Module):
         dtype = jnp.bfloat16 if self.cfg.compute_dtype == 'bfloat16' else jnp.float32
         img = img.astype(dtype)
 
+        remat = bool(getattr(self.cfg, 'remat', False))
         if self.cfg.backbone in ('resnet50', 'resnet101'):
             layers = (3, 4, 6, 3) if self.cfg.backbone == 'resnet50' else (3, 4, 23, 3)
-            outs = ResNet(layers=layers, dtype=dtype, name='backbone')(img, train=train)
+            outs = ResNet(layers=layers, dtype=dtype, remat=remat,
+                          name='backbone')(img, train=train)
             c3, c4, c5 = outs[1], outs[2], outs[3]
         elif self.cfg.backbone == 'swin_tiny':
             from yolact_minimal_tpu.models.swin import SwinTiny
-            outs = SwinTiny(dtype=dtype, name='backbone')(img, train=train)
+            outs = SwinTiny(dtype=dtype, remat=remat,
+                            name='backbone')(img, train=train)
             c3, c4, c5 = outs[1], outs[2], outs[3]
         else:
             raise ValueError(f'Unknown backbone {self.cfg.backbone!r}')
