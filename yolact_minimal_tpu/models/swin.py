@@ -99,11 +99,16 @@ class WindowAttention(nn.Module):
         bias = table[idx.reshape(-1)].reshape(n, n, heads)
         bias = bias.transpose(2, 0, 1).astype(self.dtype)    # [heads, N, N]
 
+        # Slice q/k/v out of the packed projection and let dot_general absorb
+        # the head split — same channel->(head, hd) mapping as the reference
+        # packing (swin_transformer.py:170-172) but with no explicit 5-D
+        # transpose materializing a relayout of the full qkv tensor.
         qkv = nn.Dense(3 * self.dim, kernel_init=_dense_init, dtype=self.dtype, name='qkv')(x)
-        qkv = qkv.reshape(bnw, n, 3, heads, hd).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]                     # [bnw, heads, N, hd]
+        q = qkv[..., :self.dim].reshape(bnw, n, heads, hd)
+        k = qkv[..., self.dim:2 * self.dim].reshape(bnw, n, heads, hd)
+        v = qkv[..., 2 * self.dim:].reshape(bnw, n, heads, hd)
 
-        attn = jnp.einsum('bhnd,bhmd->bhnm', q * (hd ** -0.5), k,
+        attn = jnp.einsum('bnhd,bmhd->bhnm', q * (hd ** -0.5), k,
                           preferred_element_type=jnp.float32)
         attn = attn + bias[None].astype(attn.dtype)
         if mask is not None:
@@ -113,9 +118,9 @@ class WindowAttention(nn.Module):
             attn = attn.reshape(bnw, heads, n, n)
         attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
 
-        out = jnp.einsum('bhnm,bhmd->bhnd', attn, v,
+        out = jnp.einsum('bhnm,bmhd->bnhd', attn, v,
                          preferred_element_type=jnp.float32).astype(self.dtype)
-        out = out.transpose(0, 2, 1, 3).reshape(bnw, n, c)
+        out = out.reshape(bnw, n, c)
         return nn.Dense(self.dim, kernel_init=_dense_init, dtype=self.dtype, name='proj')(out)
 
 
