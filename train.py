@@ -17,7 +17,8 @@ import numpy as np
 
 from yolact_minimal_tpu.config import cfg_name_from_weight, get_config
 from yolact_minimal_tpu.data.coco import COCODetection, TrainLoader
-from yolact_minimal_tpu.parallel.mesh import (is_main_process, make_mesh,
+from yolact_minimal_tpu.parallel.mesh import (initialize_distributed,
+                                              is_main_process, make_mesh,
                                               shard_batch)
 from yolact_minimal_tpu.pipeline import Detector
 from yolact_minimal_tpu.train_state import (create_train_state,
@@ -70,6 +71,10 @@ def main():
                              'FLOPs) — for large images/batches.')
     parser.add_argument('--max_steps', type=int, default=-1,
                         help='Stop early after this many steps (debug).')
+    parser.add_argument('--force', action='store_true',
+                        help='Run configurations known to crash the TPU '
+                             'worker anyway (fp32 training at img_size '
+                             '>= 544).')
     parser.add_argument('--lr', type=float, default=None,
                         help='Override the base learning rate.')
     parser.add_argument('--train_imgs', type=str, default=None)
@@ -87,6 +92,26 @@ def main():
                      val_num=args.val_num, coco_api=args.coco_api,
                      compute_dtype=args.compute_dtype, remat=args.remat,
                      traditional_nms=args.traditional_nms, **overrides)
+    # Multi-host: join the distributed runtime BEFORE the first backend
+    # touch (jax.default_backend() below initializes the client). No-op
+    # unless YOLACT_COORDINATOR is configured; see parallel/mesh.py.
+    if initialize_distributed():
+        print(f'Joined distributed runtime: process {jax.process_index()} '
+              f'of {jax.process_count()}, {len(jax.devices())} global / '
+              f'{len(jax.local_devices())} local devices.')
+
+    # Known-fatal operating point on this TPU backend: the fp32 train step at
+    # img_size >= 544 reproducibly kills the worker with a kernel fault (even
+    # with --remat; see docs/ARCHITECTURE.md). bf16 is the supported compute
+    # dtype at 544px. Refuse unless the user explicitly forces it.
+    if (cfg.compute_dtype == 'float32' and cfg.img_size >= 544
+            and jax.default_backend() != 'cpu' and not args.force):
+        raise SystemExit(
+            f'float32 training at img_size={cfg.img_size} is known to crash '
+            f'the TPU worker (kernel fault, reproducible with and without '
+            f'--remat). Use --compute_dtype bfloat16 (params stay fp32), '
+            f'a smaller --img_size, or pass --force to try anyway.')
+
     main_proc = is_main_process()
     if main_proc:
         cfg.print_cfg()
@@ -94,7 +119,7 @@ def main():
     mesh = make_mesh()
     n_dev = mesh.devices.size
     assert cfg.train_bs % n_dev == 0, \
-        f'train_bs {cfg.train_bs} must divide over {n_dev} devices.'
+        f'global train_bs {cfg.train_bs} must divide over {n_dev} devices.'
 
     rng = jax.random.PRNGKey(0)
     anchors = make_anchors_for(cfg)

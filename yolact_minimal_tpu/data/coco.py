@@ -175,23 +175,31 @@ def _pool_build(args):
 class TrainLoader:
     """Sharded, shuffled, prefetching train-batch iterator.
 
-    Per epoch: indices are shuffled with a shared seed, sharded
-    process_index::process_count (DistributedSampler analog, reference
-    train.py:77,98-100), grouped into per-process batches, and built by a
-    worker pool feeding a bounded in-flight window so augmentation overlaps
-    device compute. `backend='process'` (default for num_workers > 1) uses
-    spawned worker processes — cv2/numpy augmentation is GIL-bound under
-    threads (the reference's DataLoader workers are processes for the same
-    reason); `backend='thread'` keeps everything in-process for tests.
+    `batch_size` is the GLOBAL batch size; each process builds and yields
+    only its `batch_size / process_count` rows per step (the multi-host
+    shard_batch contract — jax.make_array_from_process_local_data assembles
+    the global array from per-process rows). Per epoch: indices are
+    shuffled with a shared seed, sharded process_index::process_count and
+    truncated to the common length so every process yields the same number
+    of batches (DistributedSampler analog, reference train.py:77,98-100),
+    then built by a worker pool feeding a bounded in-flight window so
+    augmentation overlaps device compute. `backend='process'` (default for
+    num_workers > 1) uses spawned worker processes — cv2/numpy augmentation
+    is GIL-bound under threads (the reference's DataLoader workers are
+    processes for the same reason); `backend='thread'` keeps everything
+    in-process for tests.
     """
 
     def __init__(self, dataset: COCODetection, cfg: Config,
                  batch_size: int, num_workers: int = 8, seed: int = 0,
                  process_index: int = 0, process_count: int = 1,
                  prefetch: int = 8, backend: Optional[str] = None):
+        if batch_size % process_count:
+            raise ValueError(f'global batch size {batch_size} must divide '
+                             f'over {process_count} processes')
         self.ds = dataset
         self.cfg = cfg
-        self.bs = batch_size
+        self.bs = batch_size // process_count     # per-process rows
         self.num_workers = max(1, num_workers)
         self.seed = seed
         self.pidx, self.pcount = process_index, process_count
@@ -203,7 +211,9 @@ class TrainLoader:
     def _epoch_indices(self) -> np.ndarray:
         rng = np.random.RandomState(self.seed + self.epoch)
         idx = rng.permutation(len(self.ds))
-        idx = idx[self.pidx::self.pcount]
+        # common per-process length so every process agrees on batch count
+        per_proc = len(idx) // self.pcount
+        idx = idx[self.pidx::self.pcount][:per_proc]
         n_batches = len(idx) // self.bs
         return idx[: n_batches * self.bs].reshape(n_batches, self.bs)
 
