@@ -32,9 +32,6 @@ def evaluate(detector: Detector, cfg, step=None, max_images: int = -1):
     expensive, so batching directly multiplies eval throughput. Host tails
     (mask upsample, metrics) stay per-image.
     """
-    import jax
-    import jax.numpy as jnp
-
     dataset = COCODetection(cfg, mode='val')
     n = len(dataset) if max_images == -1 else min(max_images, len(dataset))
     bs = max(1, int(cfg.val_bs))
@@ -44,9 +41,21 @@ def evaluate(detector: Detector, cfg, step=None, max_images: int = -1):
     ap_data = make_ap_data(len(cfg.class_names))
     make_json = MakeJson(cfg.continuous_id) if cfg.coco_api else None
 
-    # prefetch the host-side decode/resize so cv2 overlaps device compute
+    # prefetch the host-side decode/resize so cv2 overlaps device compute;
+    # try/finally so an exception mid-loop doesn't leak the pool's threads
     from concurrent.futures import ThreadPoolExecutor
     pool = ThreadPoolExecutor(4)
+    try:
+        return _eval_loop(detector, cfg, dataset, n, bs, progress, ap_data,
+                          make_json, pool, step)
+    finally:
+        pool.shutdown(wait=False, cancel_futures=True)
+
+
+def _eval_loop(detector, cfg, dataset, n, bs, progress, ap_data, make_json,
+               pool, step):
+    import jax
+    import jax.numpy as jnp
     ahead = 2 * bs + 2
     futures = {i: pool.submit(dataset.get_val, i) for i in range(min(n, ahead))}
 
@@ -58,9 +67,20 @@ def evaluate(detector: Detector, cfg, step=None, max_images: int = -1):
         idxs = range(batch_start, min(batch_start + bs, n))
         items = []
         for i in idxs:
-            items.append(futures.pop(i).result())
+            try:
+                items.append(futures.pop(i).result())
+            except RuntimeError as e:
+                # crowd-only / annotation-free val image. The reference
+                # crashes here (utils/coco.py:109-111); by default we skip it
+                # so a 5000-image eval survives — --strict restores the
+                # reference behavior.
+                if cfg.strict:
+                    raise
+                print(f'\nWarning: skipping val image {i}: {e}')
             if i + ahead < n:
                 futures[i + ahead] = pool.submit(dataset.get_val, i + ahead)
+        if not items:
+            continue
         imgs = np.stack([it['image'] for it in items], 0)
         if len(items) < bs:   # pad the tail batch to the compiled shape
             imgs = np.concatenate(
@@ -105,7 +125,6 @@ def evaluate(detector: Detector, cfg, step=None, max_images: int = -1):
                   f't_t: {t_t:.3f} | t_fwd_nms: {t_fn:.3f} | '
                   f't_after_nms: {t_an:.3f} | t_metric: {t_me:.3f}', end='')
 
-    pool.shutdown(wait=False)
     print()
     if cfg.coco_api:
         make_json.dump()
@@ -128,6 +147,9 @@ def main():
     parser.add_argument('--val_bs', type=int, default=None,
                         help='Device batch size for eval (default: cfg.val_bs).')
     parser.add_argument('--coco_api', action='store_true')
+    parser.add_argument('--strict', action='store_true',
+                        help='Crash on crowd-only val images like the '
+                             'reference instead of skipping them.')
     parser.add_argument('--traditional_nms', action='store_true')
     parser.add_argument('--cfg', type=str, default=None,
                         help='Override config name (else parsed from weight).')
@@ -142,6 +164,7 @@ def main():
     overrides = {} if args.val_bs is None else {'val_bs': args.val_bs}
     cfg = get_config(name, mode='val', img_size=args.img_size,
                      val_num=args.val_num, coco_api=args.coco_api,
+                     strict=args.strict,
                      traditional_nms=args.traditional_nms, **overrides)
     cfg.print_cfg()
 

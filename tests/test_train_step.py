@@ -30,13 +30,18 @@ def setup(tmp_path_factory):
     samples = []
     i = 0
     rnd = random.Random(0)
-    while len(samples) < 2:
+    # 8 DISTINCT augmented samples: the DP-consistency test needs tie-free
+    # scores — duplicated rows create exact OHEM/top-k ties that flip under
+    # BN reassociation noise across shardings (measured: 3e-4 relative loss
+    # diff with duplicates vs 7e-6 with distinct samples)
+    while len(samples) < 8:
         s = ds.get_train(i % len(ds), rnd)
         if s is not None:
             samples.append(s)
         i += 1
-    batch = assemble_train_batch(samples, cfg)
-    return cfg, batch
+    batch = assemble_train_batch(samples[:2], cfg)
+    batch8 = assemble_train_batch(samples, cfg)
+    return cfg, batch, batch8
 
 
 def test_lr_schedule_matches_reference_policy():
@@ -55,7 +60,7 @@ def test_lr_schedule_matches_reference_policy():
 
 
 def test_train_step_runs_and_overfits(setup):
-    cfg, batch = setup
+    cfg, batch, _ = setup
     anchors = make_anchors_for(cfg)
     state = create_train_state(cfg, jax.random.PRNGKey(0))
     step_fn = make_train_step(cfg, anchors)
@@ -75,16 +80,39 @@ def test_train_step_runs_and_overfits(setup):
 
 def test_train_step_multichip(setup):
     """Full data-parallel step over the 8-device CPU mesh: batch sharded on
-    'data', params replicated; XLA inserts the gradient all-reduce."""
-    cfg, batch = setup
+    'data', params replicated; XLA inserts the gradient all-reduce. Pins DP
+    consistency in CI: the sharded step must produce the same losses and
+    params as a 1-device step on the same global batch (the same assertion
+    __graft_entry__.dryrun_multichip makes for the driver gate)."""
+    cfg, _, big = setup
     anchors = make_anchors_for(cfg)
-    mesh = make_mesh(8)
-    state = create_train_state(cfg, jax.random.PRNGKey(0))
     step_fn = make_train_step(cfg, anchors)
 
-    big = jax.tree.map(lambda x: np.concatenate([x] * 4, axis=0), batch)
-    with mesh:
-        sharded = shard_batch(big, mesh)
-        state, losses = step_fn(state, sharded, jax.random.PRNGKey(1))
-        total = float(losses.total)
-    assert np.isfinite(total)
+    def run(mesh):
+        # the step donates its state — build a fresh identical one per mesh
+        state = create_train_state(cfg, jax.random.PRNGKey(0))
+        params_0 = jax.device_get(state.params)
+        with mesh:
+            sharded = shard_batch(big, mesh)
+            state, losses = step_fn(state, sharded, jax.random.PRNGKey(1))
+        return params_0, jax.device_get(state.params), float(losses.total)
+
+    params_0, params_8, total_8 = run(make_mesh(8))
+    assert np.isfinite(total_8)
+    _, params_1, total_1 = run(make_mesh(1))
+    # loss rtol 1e-3: the batch mean is summed in shard-local partials on the
+    # 8-device mesh, and fp32 reassociation over ~OHEM-sized sums reaches
+    # ~2e-4 relative on this fixture (measured)
+    np.testing.assert_allclose(total_1, total_8, rtol=1e-3)
+
+    # tolerance relative to the update magnitude: different shardings sum
+    # gradients in a different order (fp reassociation), so exact equality
+    # is not expected — see __graft_entry__.py for the measured bound
+    def leaf_excess(a, b, p0):
+        a, b, p0 = np.asarray(a), np.asarray(b), np.asarray(p0)
+        return float(np.max(np.abs(a - b))) - \
+            (2e-4 + 0.15 * float(np.max(np.abs(a - p0))))
+
+    worst = max(jax.tree.leaves(
+        jax.tree.map(leaf_excess, params_8, params_1, params_0)))
+    assert worst <= 0, f'DP param divergence exceeds tolerance by {worst:.2e}'

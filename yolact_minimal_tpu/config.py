@@ -102,6 +102,10 @@ class Config:
     # and is a straight throughput win on TPU.
     val_bs: int = 8
     coco_api: bool = False
+    # val-mode behavior on images with no usable (non-crowd) annotation:
+    # False -> skip with a warning; True -> raise like the reference
+    # (utils/coco.py:109-111 RuntimeError), which kills a long eval mid-run.
+    strict: bool = False
 
     # postprocessing
     traditional_nms: bool = False
@@ -130,6 +134,9 @@ class Config:
     real_time: bool = False
     image: Optional[str] = None
     video: Optional[str] = None
+    # frames per device batch in video mode (reference detect.py runs bs=1
+    # per frame; batching amortizes dispatch+D2H like val_bs does for eval)
+    video_bs: int = 8
 
     # pretrained backbone for training init (reference config.py:84/144/153;
     # consumed by train.py when not resuming, like reference train.py:53-56).

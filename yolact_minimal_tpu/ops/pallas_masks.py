@@ -50,9 +50,9 @@ from yolact_minimal_tpu.ops.resize import _interp_matrix
 
 _PH_W = ((0.375, 0.625), (0.125, 0.875), (0.875, 0.125), (0.625, 0.375))
 
-# Output rows per grid step: 16 -> 4 proto rows per band, keeping the band's
-# fp32 column-matmul result [D*16, S] at ~3.5 MB of VMEM, and the band's
-# lane offset (band * 4 * W) 128-aligned for any 128-multiple W.
+# Output rows per grid step: 32 -> 8 proto rows per band, keeping the band's
+# fp32 column-matmul result [D*32, S] at ~7 MB of VMEM (D=100, S=544), and
+# the band's lane offset (band * 8 * W) 128-aligned for any 128-multiple W.
 _BAND_OUT = 32
 
 

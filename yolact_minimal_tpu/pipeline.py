@@ -89,9 +89,13 @@ class Detector:
             # lincomb per row band. Kept as a validated alternative; see
             # docs/ARCHITECTURE.md.
             # (backend check: Pallas TPU kernels can't lower on the CPU
-            # test mesh; the tunneled TPU registers as platform 'axon')
+            # test mesh; the tunneled TPU registers as platform 'axon'.
+            # mesh check: pallas_call has no SPMD partitioning rule, so it
+            # must not be jitted over batch-sharded inputs — DP runs take
+            # the XLA pair instead)
             if (_USE_PALLAS_MASKS and out_size == 4 * proto.shape[1]
-                    and jax.default_backend() != 'cpu'):
+                    and jax.default_backend() != 'cpu'
+                    and self.mesh is None):
                 from yolact_minimal_tpu.ops.pallas_masks import \
                     fused_mask_finalize
                 masks = fused_mask_finalize(proto, dets.coefs, dets.boxes,
@@ -134,8 +138,9 @@ class Detector:
             return images
         from yolact_minimal_tpu.parallel.mesh import batch_sharding
         n = self.mesh.devices.size
-        assert images.shape[0] % n == 0, \
-            f'batch {images.shape[0]} not divisible by mesh size {n}'
+        if images.shape[0] % n != 0:
+            raise ValueError(
+                f'batch {images.shape[0]} not divisible by mesh size {n}')
         return jax.device_put(images, batch_sharding(self.mesh))
 
     def __call__(self, images: jnp.ndarray):
@@ -154,8 +159,10 @@ class Detector:
         (postprocess_host, eval, detect) is dispatch-agnostic."""
         from yolact_minimal_tpu.ops.traditional_nms import traditional_nms
         cfg = self.cfg
+        # the jitted forward+decode is sharded over the mesh like the
+        # fast-NMS path; only the greedy suppression tail is host-side
         class_p, boxes_all, coef_p, proto = jax.device_get(
-            self._infer_raw(self.variables, images))
+            self._infer_raw(self.variables, self._shard(images)))
         bsz, _, n_coef = coef_p.shape
         ph, pw = proto.shape[1:3]
         d = cfg.max_detections
