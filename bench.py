@@ -7,19 +7,37 @@ res50_coco at the reference's 544x544 eval size (nearest /32 size to the 550
 headline), bf16, batch 16. Baseline: 200 img/s (BASELINE.md north star).
 
 Prints ONE JSON line. The default run also sweeps the other two published
-backbones (res101, swin_tiny) and a res50 train step at 256px, reporting
-them (with rough MFU estimates from XLA's compiled cost analysis against the
-v5e peak) under "extra". --quick runs the headline only; --cfg/--img_size/
---batch benchmark a single custom point.
+backbones (res101, swin_tiny) and the res50 train step (fwd+bwd+optimizer)
+at 544px and 256px, reporting them (with MFU estimates from XLA's compiled
+cost analysis against the v5e peak) under "extra".
+
+Every sweep point runs in its OWN subprocess: on this tunneled backend a
+large fresh compile can kill the TPU worker, and a poisoned client
+otherwise blanks every subsequent point of the sweep (observed in the r02
+run). The parent never touches JAX, so each child owns a fresh client.
+
+Timing is data-dependent: each iteration's input is perturbed by a
+zero-valued function of the previous output, so no two dispatches are the
+identical (executable, args) pair — this backend may serve repeats of an
+identical pair from a client cache (see docs/ARCHITECTURE.md).
 """
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
-import numpy as np
-
 V5E_PEAK_FLOPS = {'bfloat16': 197e12, 'float32': 98.5e12}
+
+# swin_tiny operating points, ASCENDING: a swin graph at 544px reliably
+# kills this environment's TPU worker (kernel fault; recovery takes
+# 10-25 min, during which every new client hangs), while 256px runs fine
+# (measured 780 img/s). The sweep therefore runs swin LAST, smallest
+# first, keeps the largest surviving point, and stops at the first
+# failure — so a kill can never blank the other backbones' numbers.
+SWIN_POINTS = [(256, 8), (384, 8), (448, 8), (512, 16)]
 
 
 def _mfu(flops_per_call, calls_per_s, dtype):
@@ -57,20 +75,30 @@ def bench_detect(cfg_name: str, img_size: int, batch: int,
                            jnp.zeros((1, img_size, img_size, 3), jnp.float32),
                            train=False)
     det = Detector(cfg, variables)
+    import numpy as np
     images = jnp.asarray(
         np.random.RandomState(0).rand(batch, img_size, img_size, 3)
         .astype(np.float32))
+
+    @jax.jit
+    def perturb(images, scores):
+        # zero-valued data dependency on the previous output: keeps every
+        # dispatch distinct (anti caching/dedup) without changing the input
+        return images + (scores[0, 0] * 0).astype(images.dtype)
 
     # NOTE on timing: on the tunneled TPU backend jax.block_until_ready can
     # return before execution finishes — fetching a small piece of the last
     # output is the only reliable drain (validated against a known-FLOPs
     # matmul chain: 30 ms/call measured vs 28 ms theoretical floor).
     out = det.detect_fixed(images, img_size)     # compile + warmup
+    imgs_i = perturb(images, out[0].scores)      # compile the perturbation
+    out = det.detect_fixed(imgs_i, img_size)
     jax.device_get(out[0].scores[0, 0])
 
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        out = det.detect_fixed(images, img_size)
+        imgs_i = perturb(imgs_i, out[0].scores)
+        out = det.detect_fixed(imgs_i, img_size)
     jax.device_get(out[0].scores[0, 0])          # drain the dispatch queue
     dt = time.perf_counter() - t0
     imgs_per_s = n_iters * batch / dt
@@ -83,11 +111,13 @@ def bench_detect(cfg_name: str, img_size: int, batch: int,
 
 
 def bench_train_step(cfg_name: str, img_size: int, batch: int,
-                     n_iters: int = 10):
+                     dtype: str = 'bfloat16', n_iters: int = 10):
     """img/s of the jitted train step (fwd+bwd, all four losses, optimizer)
     on a device-resident batch — isolates device throughput from the host
-    input pipeline."""
+    input pipeline. The step is inherently data-dependent across iterations
+    (the donated state threads through), so no extra perturbation is needed."""
     import jax
+    import numpy as np
 
     from yolact_minimal_tpu.config import get_config
     from yolact_minimal_tpu.train_state import (create_train_state,
@@ -95,7 +125,7 @@ def bench_train_step(cfg_name: str, img_size: int, batch: int,
                                                 make_train_step)
 
     cfg = get_config(cfg_name, mode='train', img_size=img_size,
-                     train_bs=batch, max_gt=16)
+                     train_bs=batch, max_gt=16, compute_dtype=dtype)
     state = create_train_state(cfg, jax.random.PRNGKey(0))
     step_fn = make_train_step(cfg, make_anchors_for(cfg))
 
@@ -113,6 +143,9 @@ def bench_train_step(cfg_name: str, img_size: int, batch: int,
         masks_seg=(rng.rand(batch, g, img_size // 8, img_size // 8) > 0.5)
         .astype(np.float32)))
 
+    anchors = make_anchors_for(cfg)
+    flops = _cost_flops(step_fn.lower(state, batch_d, jax.random.PRNGKey(1)))
+
     key = jax.random.PRNGKey(1)
     state, losses = step_fn(state, batch_d, key)     # compile + warmup
     jax.device_get(losses.total)                     # real drain (see note above)
@@ -122,7 +155,34 @@ def bench_train_step(cfg_name: str, img_size: int, batch: int,
         state, losses = step_fn(state, batch_d, key)
     jax.device_get(losses.total)
     dt = time.perf_counter() - t0
-    return {'img_per_s': round(n_iters * batch / dt, 2)}
+    return {'img_per_s': round(n_iters * batch / dt, 2),
+            'mfu': _mfu(flops, n_iters / dt, dtype)}
+
+
+def run_point(spec: str) -> dict:
+    """Run one benchmark point in-process. spec:
+    '<detect|train>:<cfg>:<img_size>:<batch>[:<dtype>]'."""
+    parts = spec.split(':')
+    kind, cfg_name, img_size, batch = parts[0], parts[1], int(parts[2]), int(parts[3])
+    dtype = parts[4] if len(parts) > 4 else 'bfloat16'
+    if kind == 'detect':
+        return bench_detect(cfg_name, img_size, batch, dtype)
+    if kind == 'train':
+        return bench_train_step(cfg_name, img_size, batch, dtype)
+    raise ValueError(f'unknown point kind {kind!r}')
+
+
+def run_point_isolated(spec: str, timeout_s: int = 720) -> dict:
+    """Run one point in a fresh subprocess (fresh TPU client) and parse its
+    JSON line. Raises RuntimeError with the child's tail on failure."""
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), '--point', spec],
+        capture_output=True, text=True, timeout=timeout_s)
+    for line in reversed(proc.stdout.strip().splitlines()):
+        if line.startswith('{'):
+            return json.loads(line)
+    tail = (proc.stderr or proc.stdout or '')[-400:]
+    raise RuntimeError(f'point {spec} failed (rc={proc.returncode}): {tail}')
 
 
 def main():
@@ -136,17 +196,33 @@ def main():
                    help='Headline number only, skip the sweep.')
     p.add_argument('--train', action='store_true',
                    help='Benchmark the train step for --cfg instead.')
+    p.add_argument('--point', type=str, default=None,
+                   help='Internal: run one sweep point in this process and '
+                        'print its JSON (kind:cfg:img:batch[:dtype]).')
     args = p.parse_args()
+
+    if args.point:
+        print(json.dumps(run_point(args.point)))
+        return
 
     if args.train:
         r = bench_train_step(args.cfg, args.img_size, args.batch)
         print(json.dumps({
             'metric': f'train-step img/s at {args.img_size}px, {args.cfg}, '
-                      f'batch {args.batch}, single chip',
-            'value': r['img_per_s'], 'unit': 'img/s', 'vs_baseline': None}))
+                      f'bf16, batch {args.batch}, single chip',
+            'value': r['img_per_s'], 'unit': 'img/s', 'vs_baseline': None,
+            'extra': {'mfu': r['mfu']}}))
         return
 
-    head = bench_detect(args.cfg, args.img_size, args.batch)
+    # Headline in its own subprocess too — a fresh client, and the parent
+    # stays JAX-free so later points aren't poisoned by an earlier kill.
+    head_spec = f'detect:{args.cfg}:{args.img_size}:{args.batch}'
+    try:
+        head = run_point_isolated(head_spec)
+    except Exception:
+        # last resort: in-process (a dead worker at this point fails the
+        # whole bench anyway)
+        head = run_point(head_spec)
     result = {
         'metric': f'end-to-end detect img/s at {args.img_size}x{args.img_size}'
                   f', {args.cfg}, bf16, batch {args.batch}, single chip',
@@ -155,24 +231,27 @@ def main():
         'vs_baseline': round(head['img_per_s'] / 200.0, 3),
     }
     if not args.quick:
-        # Each sweep point is best-effort: on the tunneled TPU the worker can
-        # crash on large fresh compiles (observed with swin at 544/b16); the
-        # headline JSON must still print.
         extra = {f'{args.cfg}_detect_{args.img_size}_mfu': head['mfu']}
-        for name in ('res101_coco', 'swin_tiny_coco'):
-            if name == args.cfg:
-                continue
+
+        def point(key, spec):
             try:
-                r = bench_detect(name, args.img_size, args.batch)
-                extra[f'{name}_detect_{args.img_size}_img_per_s'] = r['img_per_s']
-                extra[f'{name}_detect_{args.img_size}_mfu'] = r['mfu']
+                r = run_point_isolated(spec)
+                extra[f'{key}_img_per_s'] = r['img_per_s']
+                if r.get('mfu') is not None:
+                    extra[f'{key}_mfu'] = r['mfu']
+                return True
             except Exception as e:  # noqa: BLE001
-                extra[f'{name}_detect_{args.img_size}_error'] = str(e)[:200]
-        try:
-            t = bench_train_step('res50_coco', 256, 8)
-            extra['res50_coco_train_step_256_bs8_img_per_s'] = t['img_per_s']
-        except Exception as e:  # noqa: BLE001
-            extra['res50_coco_train_step_error'] = str(e)[:200]
+                extra[f'{key}_error'] = str(e)[:200]
+                return False
+
+        point('res101_coco_detect_544', 'detect:res101_coco:544:16')
+        point('res50_coco_train_544_bs8', 'train:res50_coco:544:8')
+        point('res50_coco_train_256_bs8', 'train:res50_coco:256:8')
+        # swin last, ascending, stop at first failure (see SWIN_POINTS)
+        for img, b in SWIN_POINTS:
+            if not point(f'swin_tiny_coco_detect_{img}_bs{b}',
+                         f'detect:swin_tiny_coco:{img}:{b}'):
+                break
         result['extra'] = extra
     print(json.dumps(result))
 

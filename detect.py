@@ -55,6 +55,10 @@ def main():
     parser.add_argument('--save_lincomb', action='store_true')
     parser.add_argument('--no_crop', action='store_true')
     parser.add_argument('--real_time', action='store_true')
+    parser.add_argument('--video_bs', type=int, default=8,
+                        help='Frames per device batch in video mode (the '
+                             'reference runs bs=1; batching multiplies '
+                             'video throughput on TPU).')
     parser.add_argument('--visual_thre', default=0.3, type=float)
     parser.add_argument('--cfg', type=str, default=None)
     args = parser.parse_args()
@@ -96,46 +100,112 @@ def main():
         print('\nFinished, saved in: results/images.')
 
     elif cfg.video is not None:
-        vid = cv2.VideoCapture(cfg.video)
-        target_fps = round(vid.get(cv2.CAP_PROP_FPS))
-        fw = round(vid.get(cv2.CAP_PROP_FRAME_WIDTH))
-        fh = round(vid.get(cv2.CAP_PROP_FRAME_HEIGHT))
-        num_frames = round(vid.get(cv2.CAP_PROP_FRAME_COUNT))
-        name = os.path.basename(cfg.video)
+        detect_video(detector, cfg)
+    else:
+        parser.error('Provide --image <folder> or --video <path>.')
+
+
+def detect_video(detector, cfg):
+    """Batched video inference (reference detect.py:102-167 rebuilt for
+    throughput): frames go through the device `video_bs` at a time — the
+    bs=1 frame loop wastes >90% of the chip on dispatch+D2H round trips
+    over the tunneled link — with read+val_aug prefetched on a worker
+    thread and draw+encode overlapped on a writer thread, so the device
+    never waits on host video IO."""
+    import jax
+    import jax.numpy as jnp
+    from concurrent.futures import ThreadPoolExecutor
+
+    vid = cv2.VideoCapture(cfg.video)
+    target_fps = round(vid.get(cv2.CAP_PROP_FPS))
+    fw = round(vid.get(cv2.CAP_PROP_FRAME_WIDTH))
+    fh = round(vid.get(cv2.CAP_PROP_FRAME_HEIGHT))
+    num_frames = round(vid.get(cv2.CAP_PROP_FRAME_COUNT))
+    name = os.path.basename(cfg.video)
+    writer = None
+    if not cfg.real_time:
         writer = cv2.VideoWriter(f'results/videos/{name}',
                                  cv2.VideoWriter_fourcc(*'mp4v'),
                                  target_fps, (fw, fh))
-        progress = ProgressBar(40, num_frames)
-        timer.reset()
-        t_fps = 0.0
-        for i in range(num_frames):
-            if i == 1:
-                timer.start()
+    bs = max(1, int(getattr(cfg, 'video_bs', 8)))
+    progress = ProgressBar(40, max(num_frames, 1))
+
+    aug_pool = ThreadPoolExecutor(2)
+
+    def read_batch():
+        """Decode + val_aug the next <=bs frames (runs on the reader
+        thread, overlapped with device compute on the previous batch)."""
+        frames = []
+        while len(frames) < bs:
             frame = vid.read()[1]
             if frame is None:
                 break
-            with timer.counter('detect'):
-                out = _detect_one(detector, cfg, val_aug(frame, cfg.img_size),
-                                  frame, fps=t_fps)
+            frames.append(frame)
+        normed = list(aug_pool.map(
+            lambda f: val_aug(f, cfg.img_size), frames))
+        return frames, normed
+
+    io_pool = ThreadPoolExecutor(1)
+    write_pool = ThreadPoolExecutor(1)
+
+    def finish_frame(frames, dets_np, masks_np, t_fps):
+        """Host tail for one device batch: per-frame mask upsample, draw,
+        encode (runs on the writer thread, in submission order)."""
+        outs = []
+        for j, frame in enumerate(frames):
+            det0 = type(dets_np)(*(x[j] for x in dets_np))
+            ids, scores, boxes, masks = detector.postprocess_host(
+                det0, masks_np[j], fh, fw, visual_thre=cfg.visual_thre)
+            out = draw_img(ids, scores, boxes, masks, frame, cfg, fps=t_fps)
             if cfg.real_time:
                 cv2.imshow('Detection', out)
                 cv2.waitKey(1)
             else:
                 writer.write(out)
-            now = time.perf_counter()
-            if i > 0:
-                timer.add_batch_time(now - prev)
-                t_t, = timer.get_times(['batch'])
-                t_fps = 1 / max(t_t, 1e-9)
-                print(f'\rDetecting: {progress.get_bar(i + 1)} '
-                      f'{i + 1}/{num_frames}, total fps: {t_fps:.2f}', end='')
-            prev = now
+            outs.append(out)
+        return len(outs)
+
+    done, t_fps, t0 = 0, 0.0, None
+    pending_write = None
+    fut = io_pool.submit(read_batch)
+    try:
+        while True:
+            frames, normed = fut.result()
+            if not frames:
+                break
+            fut = io_pool.submit(read_batch)
+
+            imgs = np.stack(normed, 0)
+            if len(frames) < bs:    # pad the tail to the compiled shape
+                imgs = np.concatenate(
+                    [imgs, np.repeat(imgs[-1:], bs - len(frames), 0)], 0)
+            dets, masks_proto, _ = detector(jnp.asarray(imgs))
+            dets_np, masks_np = jax.device_get((dets, masks_proto))
+
+            if pending_write is not None:
+                pending_write.result()
+            pending_write = write_pool.submit(finish_frame, frames, dets_np,
+                                              masks_np, t_fps)
+            done += len(frames)
+            if t0 is None:
+                t0 = time.perf_counter()   # exclude compile/warmup batch
+                warm = done
+            else:
+                t_fps = (done - warm) / max(time.perf_counter() - t0, 1e-9)
+            print(f'\rDetecting: {progress.get_bar(done)} '
+                  f'{done}/{num_frames}, total fps: {t_fps:.2f}', end='')
+        if pending_write is not None:
+            pending_write.result()
+    finally:
+        io_pool.shutdown(wait=False)
+        write_pool.shutdown(wait=True)
+        aug_pool.shutdown(wait=False)
         vid.release()
-        writer.release()
-        if not cfg.real_time:
-            print(f'\n\nFinished, saved in: results/videos/{name}')
-    else:
-        parser.error('Provide --image <folder> or --video <path>.')
+        if writer is not None:
+            writer.release()
+    if not cfg.real_time:
+        print(f'\n\nFinished, saved in: results/videos/{name} '
+              f'({t_fps:.1f} fps sustained)')
 
 
 if __name__ == '__main__':
