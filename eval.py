@@ -59,8 +59,51 @@ def _eval_loop(detector, cfg, dataset, n, bs, progress, ap_data, make_json,
     ahead = 2 * bs + 2
     futures = {i: pool.submit(dataset.get_val, i) for i in range(min(n, ahead))}
 
-    last = None
     done = 0
+    state = dict(done=0, prev=None)
+
+    def drain(pending):
+        """D2H + host tail for one already-dispatched batch. Runs AFTER the
+        next batch's dispatch is queued, so the fetch and the per-image
+        metrics overlap the device computing that next batch (JAX dispatch
+        is async; device_get is the only blocking point)."""
+        items, dets, masks_proto = pending
+        with timer.counter('fetch'):
+            dets_np, masks_np = jax.device_get((dets, masks_proto))
+        for j, item in enumerate(items):
+            det0 = type(dets_np)(*(x[j] for x in dets_np))
+            with timer.counter('after_nms'):
+                ids, scores, boxes, masks = detector.postprocess_host(
+                    det0, masks_np[j], item['height'], item['width'])
+
+            with timer.counter('metric'):
+                if len(ids) != 0:
+                    if cfg.coco_api:
+                        for k in range(len(ids)):
+                            b = boxes[k]
+                            if (b[3] - b[1]) * (b[2] - b[0]) > 0:
+                                make_json.add_bbox(item['image_id'], ids[k], b, scores[k])
+                                make_json.add_mask(item['image_id'], ids[k], masks[k], scores[k])
+                    else:
+                        prep_metrics(ap_data, ids, scores, boxes, masks,
+                                     item['boxes'], item['labels'], item['masks'],
+                                     item['height'], item['width'])
+        state['done'] += len(items)
+
+        now = time.perf_counter()
+        if state['prev'] is not None:
+            timer.add_batch_time(now - state['prev'])
+            t_t, t_fn, t_an, t_me = timer.get_times(
+                ['batch', 'fetch', 'after_nms', 'metric'])
+            fps = 1 / max(t_fn / bs + t_an, 1e-9)
+            print(f'\rTesting: {progress.get_bar(state["done"])} '
+                  f'{state["done"]}/{n}, '
+                  f'fps: {fps:.2f} | total fps: {bs / max(t_t, 1e-9):.2f} | '
+                  f't_t: {t_t:.3f} | t_fetch: {t_fn:.3f} | '
+                  f't_after_nms: {t_an:.3f} | t_metric: {t_me:.3f}', end='')
+        state['prev'] = now
+
+    pending = None
     for batch_start in range(0, n, bs):
         if batch_start == bs:
             timer.start()   # exclude the first (compile/warm-up) batch
@@ -86,45 +129,15 @@ def _eval_loop(detector, cfg, dataset, n, bs, progress, ap_data, make_json,
             imgs = np.concatenate(
                 [imgs, np.repeat(imgs[-1:], bs - len(items), axis=0)], 0)
 
-        with timer.counter('forward+nms', fence=lambda: last):
-            dets, masks_proto, _ = detector(jnp.asarray(imgs))
-            last = dets.scores
-        # one batched D2H fetch for the whole slate
-        dets_np, masks_np = jax.device_get((dets, masks_proto))
+        # async dispatch FIRST, then drain the previous batch: the device
+        # computes this batch while the host fetches/accumulates the last one
+        dets, masks_proto, _ = detector(jnp.asarray(imgs))
+        if pending is not None:
+            drain(pending)
+        pending = (items, dets, masks_proto)
 
-        for j, item in enumerate(items):
-            det0 = type(dets_np)(*(x[j] for x in dets_np))
-            with timer.counter('after_nms'):
-                ids, scores, boxes, masks = detector.postprocess_host(
-                    det0, masks_np[j], item['height'], item['width'])
-
-            with timer.counter('metric'):
-                if len(ids) != 0:
-                    if cfg.coco_api:
-                        for k in range(len(ids)):
-                            b = boxes[k]
-                            if (b[3] - b[1]) * (b[2] - b[0]) > 0:
-                                make_json.add_bbox(item['image_id'], ids[k], b, scores[k])
-                                make_json.add_mask(item['image_id'], ids[k], masks[k], scores[k])
-                    else:
-                        prep_metrics(ap_data, ids, scores, boxes, masks,
-                                     item['boxes'], item['labels'], item['masks'],
-                                     item['height'], item['width'])
-        done += len(items)
-
-        now = time.perf_counter()
-        if batch_start > 0:
-            timer.add_batch_time(now - prev)
-        prev = now
-        if batch_start > 0:
-            t_t, t_fn, t_an, t_me = timer.get_times(
-                ['batch', 'forward+nms', 'after_nms', 'metric'])
-            fps = 1 / max(t_fn / bs + t_an, 1e-9)
-            print(f'\rTesting: {progress.get_bar(done)} {done}/{n}, '
-                  f'fps: {fps:.2f} | total fps: {bs / max(t_t, 1e-9):.2f} | '
-                  f't_t: {t_t:.3f} | t_fwd_nms: {t_fn:.3f} | '
-                  f't_after_nms: {t_an:.3f} | t_metric: {t_me:.3f}', end='')
-
+    if pending is not None:
+        drain(pending)
     print()
     if cfg.coco_api:
         make_json.dump()
