@@ -31,13 +31,14 @@ import time
 
 V5E_PEAK_FLOPS = {'bfloat16': 197e12, 'float32': 98.5e12}
 
-# swin_tiny operating points, ASCENDING: a swin graph at 544px reliably
-# kills this environment's TPU worker (kernel fault; recovery takes
-# 10-25 min, during which every new client hangs), while 256px runs fine
-# (measured 780 img/s). The sweep therefore runs swin LAST, smallest
-# first, keeps the largest surviving point, and stops at the first
-# failure — so a kill can never blank the other backbones' numbers.
-SWIN_POINTS = [(256, 8), (384, 8), (448, 8), (512, 16)]
+# swin_tiny operating points, ASCENDING. Historically any swin graph at
+# 544px killed this environment's TPU worker; round 3 bisected it to the
+# strided-slice PatchMerging (output rows 136->68, not bf16-tile-aligned)
+# and fixed it with a reshape-based merge (models/swin.py), so 544 is now
+# in the ladder. The defensive ordering stays: swin runs LAST, smallest
+# first, keeping the largest surviving point and stopping at the first
+# failure — a regression can never blank the other backbones' numbers.
+SWIN_POINTS = [(256, 8), (384, 8), (448, 8), (512, 16), (544, 16)]
 
 
 def _mfu(flops_per_call, calls_per_s, dtype):

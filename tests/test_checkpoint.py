@@ -56,6 +56,29 @@ def test_filename_metadata_parsing():
     assert cfg_name_from_weight('latest_swin_tiny_coco_100.ckpt') == 'swin_tiny_coco'
 
 
+def test_detector_accepts_stats_free_checkpoint(rng):
+    """Swin checkpoints carry batch_stats=None (LayerNorm-only backbone);
+    the Detector must normalize that to an empty collection — flax apply
+    rejects None collections (regression: swin detect CLI crashed at
+    img_size 544 with ApplyScopeInvalidVariablesTypeError)."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolact_minimal_tpu.config import get_config
+    from yolact_minimal_tpu.models.yolact import Yolact
+    from yolact_minimal_tpu.pipeline import Detector
+
+    cfg = get_config('swin_tiny_custom', mode='val', img_size=64)
+    model = Yolact(cfg=cfg, train_mode=False)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3), jnp.float32), train=False)
+    # the on-disk swin layout: params only, batch_stats explicitly None
+    det = Detector(cfg, {'params': variables['params'], 'batch_stats': None})
+    dets, masks_proto, proto = det(
+        jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32)))
+    assert np.isfinite(np.asarray(dets.scores)).all()
+
+
 def test_opt_state_roundtrip_and_fast_forward(tmp_path):
     """latest checkpoints carry optimizer state; resume restores momentum and
     the LR-schedule position exactly, and legacy weights-only checkpoints get

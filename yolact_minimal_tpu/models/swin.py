@@ -206,11 +206,19 @@ class PatchMerging(nn.Module):
         b, h, w, c = x.shape
         if h % 2 or w % 2:
             x = jnp.pad(x, ((0, 0), (0, h % 2), (0, w % 2), (0, 0)))
-        x0 = x[:, 0::2, 0::2]
-        x1 = x[:, 1::2, 0::2]
-        x2 = x[:, 0::2, 1::2]
-        x3 = x[:, 1::2, 1::2]
-        x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
+            h, w = h + h % 2, w + w % 2
+        # 2x2 decimation as reshape+transpose, NOT four strided slices
+        # (x[:, 0::2, 0::2] etc.): on this TPU backend a stride-2 spatial
+        # slice whose output row count is not a multiple of the bf16
+        # sublane tile (e.g. 136 -> 68 rows at img_size 544) faults the
+        # worker kernel — bisected in round 3 (_swin_probe2.py); every
+        # img_size <= 512 yields tile-aligned outputs and worked. The
+        # channel order matches the reference concat [x0 x1 x2 x3] =
+        # [(0,0), (1,0), (0,1), (1,1)] (row, col) offsets, i.e. col-major
+        # over the 2x2 block -> transpose to [..., col, row, c].
+        x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        x = x.transpose(0, 1, 3, 4, 2, 5)         # [B, h/2, w/2, col, row, c]
+        x = x.reshape(b, h // 2, w // 2, 4 * c)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name='norm')(x)
         return nn.Dense(2 * self.dim, use_bias=False, kernel_init=_dense_init,
                         dtype=self.dtype, name='reduction')(x)

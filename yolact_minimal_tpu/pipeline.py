@@ -49,7 +49,7 @@ class Detector:
         # Pin weights on device once — passing host numpy through jit would
         # re-upload the full parameter set on every call.
         weights = {'params': variables['params'],
-                   'batch_stats': variables.get('batch_stats', {})}
+                   'batch_stats': variables.get('batch_stats') or {}}
         if mesh is not None:
             from yolact_minimal_tpu.parallel.mesh import replicated
             self.variables = jax.device_put(weights, replicated(mesh))
@@ -126,7 +126,7 @@ class Detector:
         """Swap in new weights without retracing the jitted graphs (used by
         in-training validation so each val round reuses the compiled fns)."""
         weights = {'params': variables['params'],
-                   'batch_stats': variables.get('batch_stats', {})}
+                   'batch_stats': variables.get('batch_stats') or {}}
         if self.mesh is not None:
             from yolact_minimal_tpu.parallel.mesh import replicated
             self.variables = jax.device_put(weights, replicated(self.mesh))
