@@ -100,16 +100,22 @@ def main():
               f'of {jax.process_count()}, {len(jax.devices())} global / '
               f'{len(jax.local_devices())} local devices.')
 
-    # Known-fatal operating point on this TPU backend: the fp32 train step at
-    # img_size >= 544 reproducibly kills the worker with a kernel fault (even
-    # with --remat; see docs/ARCHITECTURE.md). bf16 is the supported compute
-    # dtype at 544px. Refuse unless the user explicitly forces it.
+    # Known-fatal operating point on this TPU backend: the fp32 train step
+    # at img_size >= 544 with train_bs > 4 reproducibly kills the worker.
+    # Round-3 bisection (_fp32_probe*.py): every individual piece passes
+    # (backbone fwd+grad, full-model grad, each loss grad separately);
+    # only the COMBINED four-loss backward faults, at execution, with the
+    # compiler's own accounting at just 5.4 GB of the 16 GB HBM — an
+    # execution-level backend fault, not OOM. batch<=4 passes; --remat
+    # does not help. bf16 is the supported compute dtype at 544px.
     if (cfg.compute_dtype == 'float32' and cfg.img_size >= 544
+            and cfg.train_bs > 4
             and jax.default_backend() != 'cpu' and not args.force):
         raise SystemExit(
-            f'float32 training at img_size={cfg.img_size} is known to crash '
-            f'the TPU worker (kernel fault, reproducible with and without '
-            f'--remat). Use --compute_dtype bfloat16 (params stay fp32), '
+            f'float32 training at img_size={cfg.img_size} with train_bs='
+            f'{cfg.train_bs} is known to crash the TPU worker (execution-'
+            f'level backend fault; bisection notes in docs/ARCHITECTURE.md). '
+            f'Use --compute_dtype bfloat16 (params stay fp32), --train_bs 4, '
             f'a smaller --img_size, or pass --force to try anyway.')
 
     main_proc = is_main_process()
