@@ -146,7 +146,6 @@ def bench_train_step(cfg_name: str, img_size: int, batch: int,
         masks_seg=(rng.rand(batch, g, img_size // 8, img_size // 8) > 0.5)
         .astype(np.float32)))
 
-    anchors = make_anchors_for(cfg)
     flops = _cost_flops(step_fn.lower(state, batch_d, jax.random.PRNGKey(1)))
 
     key = jax.random.PRNGKey(1)
@@ -188,6 +187,16 @@ def run_point_isolated(spec: str, timeout_s: int = 720) -> dict:
     raise RuntimeError(f'point {spec} failed (rc={proc.returncode}): {tail}')
 
 
+# Total wall-clock budget for the default `python bench.py` run. The driver
+# that records BENCH_r{N}.json kills the process at ITS budget; round 3's
+# record came back empty (rc=124) because the old per-point 720 s timeouts
+# could stack past it. Everything now runs under this single deadline: the
+# headline JSON line is printed (flushed) the moment the headline point
+# completes, and sweep points are attempted only while time remains — a
+# slow point or a worker-recovery window can no longer starve the record.
+BENCH_DEADLINE_S = float(os.environ.get('BENCH_DEADLINE_S', 660))
+
+
 def main():
     import argparse
 
@@ -219,13 +228,37 @@ def main():
 
     # Headline in its own subprocess too — a fresh client, and the parent
     # stays JAX-free so later points aren't poisoned by an earlier kill.
+    t_start = time.monotonic()
+
+    def remaining():
+        return BENCH_DEADLINE_S - (time.monotonic() - t_start)
+
     head_spec = f'detect:{args.cfg}:{args.img_size}:{args.batch}'
-    try:
-        head = run_point_isolated(head_spec)
-    except Exception:
-        # last resort: in-process (a dead worker at this point fails the
-        # whole bench anyway)
-        head = run_point(head_spec)
+    head = None
+    head_err = None
+    # up to two subprocess attempts (a fresh client can land in a worker
+    # recovery window; the retry often succeeds), each bounded so the
+    # second still fits under the deadline.
+    for attempt in range(2):
+        budget = min(max(remaining() - 90, 60), 420 if attempt == 0 else remaining() - 30)
+        if budget < 60:
+            break
+        try:
+            head = run_point_isolated(head_spec, timeout_s=budget)
+            break
+        except Exception as e:  # noqa: BLE001
+            head_err = str(e)[:300]
+    if head is None:
+        # Emit a parseable record even on total failure — an explicit zero
+        # with the error beats a driver timeout with no JSON at all.
+        print(json.dumps({
+            'metric': f'end-to-end detect img/s at {args.img_size}x'
+                      f'{args.img_size}, {args.cfg}, bf16, batch '
+                      f'{args.batch}, single chip',
+            'value': 0, 'unit': 'img/s', 'vs_baseline': 0,
+            'extra': {'error': f'headline failed: {head_err}'}}),
+            flush=True)
+        return
     result = {
         'metric': f'end-to-end detect img/s at {args.img_size}x{args.img_size}'
                   f', {args.cfg}, bf16, batch {args.batch}, single chip',
@@ -233,12 +266,19 @@ def main():
         'unit': 'img/s',
         'vs_baseline': round(head['img_per_s'] / 200.0, 3),
     }
+    # Print the headline IMMEDIATELY: if the driver kills us mid-sweep,
+    # this line is already on stdout and the round still has its number.
+    print(json.dumps(result), flush=True)
     if not args.quick:
         extra = {f'{args.cfg}_detect_{args.img_size}_mfu': head['mfu']}
 
         def point(key, spec):
+            budget = min(300.0, remaining() - 45)
+            if budget < 60:
+                extra[f'{key}_skipped'] = 'deadline'
+                return False
             try:
-                r = run_point_isolated(spec)
+                r = run_point_isolated(spec, timeout_s=budget)
                 extra[f'{key}_img_per_s'] = r['img_per_s']
                 if r.get('mfu') is not None:
                     extra[f'{key}_mfu'] = r['mfu']
@@ -249,14 +289,16 @@ def main():
 
         point('res101_coco_detect_544', 'detect:res101_coco:544:16')
         point('res50_coco_train_544_bs8', 'train:res50_coco:544:8')
-        point('res50_coco_train_256_bs8', 'train:res50_coco:256:8')
         # swin last, ascending, stop at first failure (see SWIN_POINTS)
         for img, b in SWIN_POINTS:
             if not point(f'swin_tiny_coco_detect_{img}_bs{b}',
                          f'detect:swin_tiny_coco:{img}:{b}'):
                 break
         result['extra'] = extra
-    print(json.dumps(result))
+        # Final line repeats the headline with whatever extras completed;
+        # the driver takes the LAST JSON line, so a full run records the
+        # sweep and a killed run still records the headline printed above.
+        print(json.dumps(result), flush=True)
 
 
 if __name__ == '__main__':

@@ -184,8 +184,14 @@ def detect_video(detector, cfg):
 
             if pending_write is not None:
                 pending_write.result()
-            pending_write = write_pool.submit(finish_frame, frames, dets_np,
-                                              masks_np, t_fps)
+            if cfg.real_time:
+                # cv2.imshow/waitKey must run on the main thread (several
+                # GUI backends hang or crash off-main) — no write overlap
+                # in preview mode.
+                finish_frame(frames, dets_np, masks_np, t_fps)
+            else:
+                pending_write = write_pool.submit(finish_frame, frames,
+                                                  dets_np, masks_np, t_fps)
             done += len(frames)
             if t0 is None:
                 t0 = time.perf_counter()   # exclude compile/warmup batch
@@ -197,9 +203,12 @@ def detect_video(detector, cfg):
         if pending_write is not None:
             pending_write.result()
     finally:
-        io_pool.shutdown(wait=False)
+        # Drain the reader BEFORE releasing the capture: an in-flight
+        # vid.read() on a released VideoCapture is a use-after-release.
+        fut.cancel()
+        io_pool.shutdown(wait=True)
         write_pool.shutdown(wait=True)
-        aug_pool.shutdown(wait=False)
+        aug_pool.shutdown(wait=True)
         vid.release()
         if writer is not None:
             writer.release()

@@ -116,3 +116,39 @@ def test_train_step_multichip(setup):
     worst = max(jax.tree.leaves(
         jax.tree.map(leaf_excess, params_8, params_1, params_0)))
     assert worst <= 0, f'DP param divergence exceeds tolerance by {worst:.2e}'
+
+
+def test_split_step_matches_fused(setup):
+    """The per-loss-backward split step (the fp32@544 TPU fallback) must
+    produce the same losses and the same updated params as the fused step —
+    same rng folding, so the lincomb subsample matches; gradients differ
+    only by float summation order."""
+    from yolact_minimal_tpu.train_state import make_train_step_split
+
+    cfg, batch, _ = setup
+    anchors = make_anchors_for(cfg)
+    batch = jax.tree.map(jnp.asarray, batch)
+    rng = jax.random.PRNGKey(42)
+
+    def run(step_fn):
+        state = create_train_state(cfg, jax.random.PRNGKey(0))
+        p0 = jax.device_get(state.params)
+        state, losses = step_fn(state, batch, rng)
+        return p0, jax.device_get(state.params), jax.tree.map(float, losses)
+
+    p0, params_f, losses_f = run(make_train_step(cfg, anchors))
+    _, params_s, losses_s = run(make_train_step_split(cfg, anchors))
+    _, params_p, _ = run(make_train_step_split(
+        cfg, anchors, groups=((0, 1), (2, 3))))
+
+    np.testing.assert_allclose(losses_f.total, losses_s.total, rtol=1e-5)
+
+    def leaf_excess(a, b, q0):
+        a, b, q0 = np.asarray(a), np.asarray(b), np.asarray(q0)
+        return float(np.max(np.abs(a - b))) - \
+            (2e-4 + 0.15 * float(np.max(np.abs(a - q0))))
+
+    for variant in (params_s, params_p):
+        worst = max(jax.tree.leaves(
+            jax.tree.map(leaf_excess, variant, params_f, p0)))
+        assert worst <= 0, f'split-step divergence exceeds tol by {worst:.2e}'

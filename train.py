@@ -24,6 +24,7 @@ from yolact_minimal_tpu.pipeline import Detector
 from yolact_minimal_tpu.train_state import (create_train_state,
                                             fast_forward_schedule, lr_schedule,
                                             make_anchors_for, make_train_step,
+                                            make_train_step_split,
                                             opt_state_to_payload,
                                             restore_opt_state)
 from yolact_minimal_tpu.utils import timer
@@ -72,9 +73,11 @@ def main():
     parser.add_argument('--max_steps', type=int, default=-1,
                         help='Stop early after this many steps (debug).')
     parser.add_argument('--force', action='store_true',
-                        help='Run configurations known to crash the TPU '
-                             'worker anyway (fp32 training at img_size '
-                             '>= 544).')
+                        help='Use the fused four-loss backward even at the '
+                             'operating point known to crash the TPU worker '
+                             '(fp32 at img_size >= 544, train_bs > 4); '
+                             'without it that point falls back to the '
+                             'per-loss-backward split step.')
     parser.add_argument('--lr', type=float, default=None,
                         help='Override the base learning rate.')
     parser.add_argument('--train_imgs', type=str, default=None)
@@ -100,23 +103,24 @@ def main():
               f'of {jax.process_count()}, {len(jax.devices())} global / '
               f'{len(jax.local_devices())} local devices.')
 
-    # Known-fatal operating point on this TPU backend: the fp32 train step
-    # at img_size >= 544 with train_bs > 4 reproducibly kills the worker.
-    # Round-3 bisection (_fp32_probe*.py): every individual piece passes
-    # (backbone fwd+grad, full-model grad, each loss grad separately);
-    # only the COMBINED four-loss backward faults, at execution, with the
-    # compiler's own accounting at just 5.4 GB of the 16 GB HBM — an
-    # execution-level backend fault, not OOM. batch<=4 passes; --remat
-    # does not help. bf16 is the supported compute dtype at 544px.
-    if (cfg.compute_dtype == 'float32' and cfg.img_size >= 544
-            and cfg.train_bs > 4
-            and jax.default_backend() != 'cpu' and not args.force):
-        raise SystemExit(
-            f'float32 training at img_size={cfg.img_size} with train_bs='
-            f'{cfg.train_bs} is known to crash the TPU worker (execution-'
-            f'level backend fault; bisection notes in docs/ARCHITECTURE.md). '
-            f'Use --compute_dtype bfloat16 (params stay fp32), --train_bs 4, '
-            f'a smaller --img_size, or pass --force to try anyway.')
+    # Known-fatal operating point on this TPU backend: the COMBINED
+    # four-loss fp32 backward at img_size >= 544 with train_bs > 4
+    # reproducibly kills the worker, while every per-loss backward passes
+    # (round-3 bisection, probes/_fp32_probe*.py: execution-level backend
+    # fault, not OOM — compiler accounts 5.4 GB of 16 GB HBM; --remat does
+    # not help). The split train step dispatches each loss's backward as
+    # its own executable — the known-good graphs — and sums gradients on
+    # device, keeping the reference's fp32 default point available at
+    # ~4x the step cost. --force runs the fused step anyway.
+    use_split_step = (cfg.compute_dtype == 'float32' and cfg.img_size >= 544
+                      and cfg.train_bs > 4
+                      and jax.default_backend() != 'cpu' and not args.force)
+    if use_split_step:
+        print('NOTE: fp32 training at img_size>=544/train_bs>4 uses the '
+              'per-loss-backward split step on this backend (the fused '
+              'four-loss backward faults the TPU worker; see '
+              'docs/ARCHITECTURE.md). Expect ~4x step cost; '
+              '--compute_dtype bfloat16 is the fast path.')
 
     main_proc = is_main_process()
     if main_proc:
@@ -179,7 +183,8 @@ def main():
                          num_workers=args.num_workers, seed=0,
                          process_index=jax.process_index(),
                          process_count=jax.process_count())
-    train_step = make_train_step(cfg, anchors)
+    train_step = (make_train_step_split(cfg, anchors) if use_split_step
+                  else make_train_step(cfg, anchors))
     sched = lr_schedule(cfg)
     writer = _tb_writer(cfg.name) if main_proc else None
 

@@ -211,7 +211,7 @@ class PatchMerging(nn.Module):
         # (x[:, 0::2, 0::2] etc.): on this TPU backend a stride-2 spatial
         # slice whose output row count is not a multiple of the bf16
         # sublane tile (e.g. 136 -> 68 rows at img_size 544) faults the
-        # worker kernel — bisected in round 3 (_swin_probe2.py); every
+        # worker kernel — bisected in round 3 (probes/_swin_probe2.py); every
         # img_size <= 512 yields tile-aligned outputs and worked. The
         # channel order matches the reference concat [x0 x1 x2 x3] =
         # [(0,0), (1,0), (0,1), (1,1)] (row, col) offsets, i.e. col-major

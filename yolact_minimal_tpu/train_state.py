@@ -114,6 +114,79 @@ def make_train_step(cfg: Config, anchors):
     return train_step
 
 
+def make_train_step_split(cfg: Config, anchors, groups=None):
+    """Fallback train step for the fp32@544 operating point, where the
+    COMBINED four-loss backward reproducibly faults this TPU backend's
+    worker while every per-loss backward passes (round-3 bisection,
+    docs/ARCHITECTURE.md "TPU worker kills"). Each loss group's gradient
+    runs as its OWN XLA executable/dispatch — the known-good graphs — and
+    the gradients are summed on device before a single optimizer apply.
+
+    Numerically identical to make_train_step (same rng folding, so the
+    lincomb mask subsample matches; gradients differ only by float
+    summation order) at ~len(groups)x the forward/backward cost. It exists
+    to keep the reference's default fp32 @ 544 training point AVAILABLE
+    (reference /root/reference/train.py:96-135 trains fp32); bf16 remains
+    the fast path.
+
+    groups: tuple of index tuples over (loss_c, loss_b, loss_m, loss_s);
+    default one dispatch per loss."""
+    anchors = jnp.asarray(anchors)
+    if groups is None:
+        groups = ((0,), (1,), (2,), (3,))
+
+    def make_group_fn(idxs, with_aux):
+        @jax.jit
+        def group_grad(state: TrainState, batch: dict, rng):
+            rng = jax.random.fold_in(rng, state.step)
+            loss_rng, dropout_rng = jax.random.split(rng)
+
+            def loss_fn(params):
+                variables = {'params': params}
+                if state.batch_stats is not None:
+                    variables['batch_stats'] = state.batch_stats
+                outputs, mutated = state.apply_fn(
+                    variables, batch['image'], train=True,
+                    mutable=['batch_stats'], rngs={'dropout': dropout_rng})
+                losses = compute_loss(cfg, outputs, batch, anchors, loss_rng)
+                part = sum(losses[i] for i in idxs)
+                return part, (losses, mutated)
+
+            grads, (losses, mutated) = jax.grad(
+                loss_fn, has_aux=True)(state.params)
+            if with_aux:
+                return grads, losses, mutated.get('batch_stats')
+            # losses/stats dropped -> XLA DCE trims this graph to exactly
+            # the per-loss-group forward+backward the probes validated
+            return grads
+
+        return group_grad
+
+    group_fns = [make_group_fn(g, with_aux=(i == 0))
+                 for i, g in enumerate(groups)]
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def apply_grads(state: TrainState, grads_list, new_stats):
+        grads = jax.tree_util.tree_map(lambda *gs: sum(gs), *grads_list)
+        if new_stats is None:
+            new_stats = state.batch_stats
+        return state.apply_gradients(grads=grads, batch_stats=new_stats)
+
+    def train_step(state: TrainState, batch: dict, rng):
+        grads_list = []
+        losses = new_stats = None
+        for i, fn in enumerate(group_fns):
+            if i == 0:
+                g, losses, new_stats = fn(state, batch, rng)
+            else:
+                g = fn(state, batch, rng)
+            grads_list.append(g)
+        state = apply_grads(state, grads_list, new_stats)
+        return state, losses
+
+    return train_step
+
+
 def make_anchors_for(cfg: Config):
     return box_ops.make_anchors(cfg.img_size, cfg.aspect_ratios, cfg.scales)
 

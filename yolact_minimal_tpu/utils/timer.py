@@ -3,8 +3,8 @@
 Same API as the reference profiler (/root/reference/utils/timer.py): named
 section lists with a rolling window, a start() gate to exclude warm-up
 iterations, and derived 'data' time = batch - sum(inner sections). Fencing
-replaces torch.cuda.synchronize with jax.block_until_ready on a caller-
-provided fence value (JAX dispatch is async exactly like CUDA streams).
+replaces torch.cuda.synchronize with a jax.device_get of a caller-provided
+fence value (JAX dispatch is async exactly like CUDA streams).
 """
 from __future__ import annotations
 
@@ -65,5 +65,10 @@ class counter:
         if _mark:
             if self.fence is not None:
                 import jax
-                jax.block_until_ready(self.fence())
+                # device_get is the only reliable drain on the tunneled TPU
+                # backend — block_until_ready can return before execution
+                # finishes there (docs/ARCHITECTURE.md, benchmark
+                # methodology). Fence values are small (loss scalars), so
+                # the transfer cost is negligible next to a train step.
+                jax.device_get(self.fence())
             _times[self.name][-1] = time.perf_counter() - _times[self.name][-1]
