@@ -150,6 +150,10 @@ class Config:
     # recompute — enables fp32/large-image training that otherwise exhausts
     # HBM (the fp32 544px train step was observed to kill the v5e worker).
     remat: bool = False
+    # Swin window attention implementation: 'auto' uses the fused Pallas
+    # kernel (ops/window_attention.py) on accelerator backends and the
+    # batched-einsum XLA path on CPU; 'on'/'off' force it.
+    fused_window_attn: str = 'auto'
 
     def __post_init__(self):
         assert self.img_size % 32 == 0, \

@@ -46,10 +46,11 @@ def relative_position_index(window: int = WINDOW) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def shifted_window_mask(hp: int, wp: int, window: int = WINDOW,
-                        shift: int = WINDOW // 2) -> np.ndarray:
-    """Static [nW, N, N] additive mask (0 / -100) hiding cross-region pairs
-    in shifted windows. hp/wp are the padded feature sizes."""
+def shifted_window_regions(hp: int, wp: int, window: int = WINDOW,
+                           shift: int = WINDOW // 2) -> np.ndarray:
+    """Static [nW, N] region ids of the shifted-window partition (reference
+    BasicLayer:368-387 `img_mask`): token pairs in the same window with
+    different ids must not attend to each other. hp/wp are padded sizes."""
     img = np.zeros((hp, wp), np.int32)
     cnt = 0
     for hs in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
@@ -58,7 +59,15 @@ def shifted_window_mask(hp: int, wp: int, window: int = WINDOW,
             cnt += 1
     # partition into windows
     img = img.reshape(hp // window, window, wp // window, window)
-    img = img.transpose(0, 2, 1, 3).reshape(-1, window * window)   # [nW, N]
+    return img.transpose(0, 2, 1, 3).reshape(-1, window * window)  # [nW, N]
+
+
+@functools.lru_cache(maxsize=None)
+def shifted_window_mask(hp: int, wp: int, window: int = WINDOW,
+                        shift: int = WINDOW // 2) -> np.ndarray:
+    """Static [nW, N, N] additive mask (0 / -100) hiding cross-region pairs
+    in shifted windows."""
+    img = shifted_window_regions(hp, wp, window, shift)
     diff = img[:, None, :] != img[:, :, None]
     return np.where(diff, -100.0, 0.0).astype(np.float32)
 
@@ -82,13 +91,18 @@ def window_reverse(x: jnp.ndarray, window: int, h: int, w: int) -> jnp.ndarray:
 
 class WindowAttention(nn.Module):
     """Per-window MHA with relative position bias (reference
-    WindowAttention:131-200)."""
+    WindowAttention:131-200). `region` is the [nW, N] int32 region-id map of
+    the shifted partition (None for unshifted blocks). With `fused` the
+    qkv-slice -> scores -> bias/mask -> softmax -> value product runs as one
+    Pallas kernel in VMEM (ops/window_attention.py); otherwise it is the
+    batched-einsum XLA formulation."""
     dim: int
     num_heads: int
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
-    def __call__(self, x, mask: Optional[jnp.ndarray]):
+    def __call__(self, x, region: Optional[jnp.ndarray]):
         bnw, n, c = x.shape
         heads, hd = self.num_heads, self.dim // self.num_heads
 
@@ -104,23 +118,35 @@ class WindowAttention(nn.Module):
         # packing (swin_transformer.py:170-172) but with no explicit 5-D
         # transpose materializing a relayout of the full qkv tensor.
         qkv = nn.Dense(3 * self.dim, kernel_init=_dense_init, dtype=self.dtype, name='qkv')(x)
-        q = qkv[..., :self.dim].reshape(bnw, n, heads, hd)
-        k = qkv[..., self.dim:2 * self.dim].reshape(bnw, n, heads, hd)
-        v = qkv[..., 2 * self.dim:].reshape(bnw, n, heads, hd)
 
-        attn = jnp.einsum('bnhd,bmhd->bhnm', q * (hd ** -0.5), k,
-                          preferred_element_type=jnp.float32)
-        attn = attn + bias[None].astype(attn.dtype)
-        if mask is not None:
-            nw = mask.shape[0]
-            attn = attn.reshape(bnw // nw, nw, heads, n, n)
-            attn = attn + mask[None, :, None].astype(attn.dtype)
-            attn = attn.reshape(bnw, heads, n, n)
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        if self.fused:
+            from yolact_minimal_tpu.ops.window_attention import \
+                window_attention_fused
+            reg = None if region is None else jnp.asarray(
+                np.asarray(region, np.int32))
+            out = window_attention_fused(qkv, bias, reg, heads)
+        else:
+            q = qkv[..., :self.dim].reshape(bnw, n, heads, hd)
+            k = qkv[..., self.dim:2 * self.dim].reshape(bnw, n, heads, hd)
+            v = qkv[..., 2 * self.dim:].reshape(bnw, n, heads, hd)
 
-        out = jnp.einsum('bhnm,bmhd->bnhd', attn, v,
-                         preferred_element_type=jnp.float32).astype(self.dtype)
-        out = out.reshape(bnw, n, c)
+            attn = jnp.einsum('bnhd,bmhd->bhnm', q * (hd ** -0.5), k,
+                              preferred_element_type=jnp.float32)
+            attn = attn + bias[None].astype(attn.dtype)
+            if region is not None:
+                mask = jnp.asarray(np.where(
+                    np.asarray(region)[:, None, :]
+                    != np.asarray(region)[:, :, None],
+                    -100.0, 0.0).astype(np.float32))
+                nw = mask.shape[0]
+                attn = attn.reshape(bnw // nw, nw, heads, n, n)
+                attn = attn + mask[None, :, None].astype(attn.dtype)
+                attn = attn.reshape(bnw, heads, n, n)
+            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+
+            out = jnp.einsum('bhnm,bmhd->bnhd', attn, v,
+                             preferred_element_type=jnp.float32).astype(self.dtype)
+            out = out.reshape(bnw, n, c)
         return nn.Dense(self.dim, kernel_init=_dense_init, dtype=self.dtype, name='proj')(out)
 
 
@@ -155,6 +181,7 @@ class SwinBlock(nn.Module):
     drop_path_rate: float
     dtype: jnp.dtype = jnp.float32
     train: bool = False    # attribute, not call arg: nn.remat-friendly
+    fused_attn: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -171,13 +198,14 @@ class SwinBlock(nn.Module):
 
         if self.shift > 0:
             x = jnp.roll(x, (-self.shift, -self.shift), axis=(1, 2))
-            mask = jnp.asarray(shifted_window_mask(hp, wp))
+            region = shifted_window_regions(hp, wp)      # static numpy
         else:
-            mask = None
+            region = None
 
         windows = window_partition(x, WINDOW)
         attended = WindowAttention(self.dim, self.num_heads, dtype=self.dtype,
-                                   name='attn')(windows, mask)
+                                   fused=self.fused_attn,
+                                   name='attn')(windows, region)
         x = window_reverse(attended, WINDOW, hp, wp)
 
         if self.shift > 0:
@@ -232,6 +260,7 @@ class SwinStage(nn.Module):
     downsample: bool
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    fused_attn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -241,6 +270,7 @@ class SwinStage(nn.Module):
                           shift=0 if i % 2 == 0 else WINDOW // 2,
                           drop_path_rate=self.drop_path_rates[i],
                           dtype=self.dtype, train=train,
+                          fused_attn=self.fused_attn,
                           name=f'block{i}')(x)
         down = PatchMerging(self.dim, dtype=self.dtype,
                             name='downsample')(x) if self.downsample else x
@@ -257,6 +287,7 @@ class SwinTiny(nn.Module):
     drop_path_rate: float = 0.2
     dtype: jnp.dtype = jnp.float32
     remat: bool = False    # rematerialize each block in the backward pass
+    fused_attn: bool = False   # Pallas fused window attention (TPU)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -279,6 +310,7 @@ class SwinTiny(nn.Module):
                 drop_path_rates=tuple(dpr[off:off + depth]),
                 downsample=(i < len(self.depths) - 1),
                 dtype=self.dtype, remat=self.remat,
+                fused_attn=self.fused_attn,
                 name=f'stage{i}')(x, train=train)
             off += depth
             if i in (1, 2, 3):

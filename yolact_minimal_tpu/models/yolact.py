@@ -16,6 +16,7 @@ import flax.linen as nn
 
 # Reference inits every conv with Xavier-uniform + zero bias (yolact.py:120-125).
 _conv_init = nn.initializers.xavier_uniform()
+import jax
 import jax.numpy as jnp
 
 from yolact_minimal_tpu.config import Config
@@ -121,7 +122,10 @@ class Yolact(nn.Module):
             c3, c4, c5 = outs[1], outs[2], outs[3]
         elif self.cfg.backbone == 'swin_tiny':
             from yolact_minimal_tpu.models.swin import SwinTiny
-            outs = SwinTiny(dtype=dtype, remat=remat,
+            fwa = getattr(self.cfg, 'fused_window_attn', 'auto')
+            fused = fwa == 'on' or (fwa == 'auto'
+                                    and jax.default_backend() != 'cpu')
+            outs = SwinTiny(dtype=dtype, remat=remat, fused_attn=fused,
                             name='backbone')(img, train=train)
             c3, c4, c5 = outs[1], outs[2], outs[3]
         else:
