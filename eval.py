@@ -171,10 +171,19 @@ def main():
                              '(0 = single device). val_bs must be a '
                              'multiple; the reference evaluates on one GPU '
                              'only.')
+    parser.add_argument('--val_imgs', type=str, default=None,
+                        help='Override the validation image directory '
+                             '(mirrors train.py --train_imgs).')
+    parser.add_argument('--val_ann', type=str, default=None,
+                        help='Override the validation annotation json.')
     args = parser.parse_args()
 
     name = args.cfg or cfg_name_from_weight(args.weight)
     overrides = {} if args.val_bs is None else {'val_bs': args.val_bs}
+    if args.val_imgs:
+        overrides['val_imgs'] = args.val_imgs
+    if args.val_ann:
+        overrides['val_ann'] = args.val_ann
     cfg = get_config(name, mode='val', img_size=args.img_size,
                      val_num=args.val_num, coco_api=args.coco_api,
                      strict=args.strict,

@@ -130,6 +130,11 @@ def main():
     n_dev = mesh.devices.size
     assert cfg.train_bs % n_dev == 0, \
         f'global train_bs {cfg.train_bs} must divide over {n_dev} devices.'
+    if n_dev > 1 and cfg.fused_window_attn == 'auto':
+        # pallas_call has no SPMD partitioning rule — multi-device DP
+        # training uses the XLA window-attention path (pipeline.py has the
+        # same guard for DP eval)
+        cfg.fused_window_attn = 'off'
 
     rng = jax.random.PRNGKey(0)
     anchors = make_anchors_for(cfg)

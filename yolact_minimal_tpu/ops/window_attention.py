@@ -30,11 +30,15 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = -100.0  # reference mask fill value (swin_transformer.py:385)
 
 
-def _pick_block(n_windows_img: int, heads: int) -> int:
-    """Largest divisor of the per-image window count <= a VMEM-friendly cap.
-    The cap shrinks with head count (per-head score blocks are [G, N, N]
-    f32 and the head loop is unrolled)."""
-    cap = max(8, 128 // max(heads // 3, 1))
+_QKV_BLOCK_BYTES = 2.5e6  # per-block VMEM budget for the qkv input block
+
+
+def _pick_block(n_windows_img: int, n: int, c3: int, itemsize: int) -> int:
+    """Largest divisor of the per-image window count whose qkv block fits
+    the VMEM budget (the qkv block dominates; with Mosaic's double
+    buffering the working set is ~2x it plus the [G, N, N] f32 score
+    scratch)."""
+    cap = max(1, int(_QKV_BLOCK_BYTES / (n * c3 * itemsize)))
     best = 1
     for g in range(1, min(cap, n_windows_img) + 1):
         if n_windows_img % g == 0:
@@ -97,7 +101,7 @@ def _attention_pallas(qkv, bias, region, heads, interpret=False):
     c = c3 // 3
     hd = c // heads
     nw = region.shape[0] if region is not None else bnw
-    g = _pick_block(nw, heads)
+    g = _pick_block(nw, n, c3, jnp.dtype(qkv.dtype).itemsize)
     masked = region is not None
     if not masked:
         # dummy 1-window region input keeps the kernel signature uniform

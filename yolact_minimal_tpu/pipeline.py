@@ -45,6 +45,12 @@ class Detector:
     def __init__(self, cfg: Config, variables: dict, mesh=None):
         self.cfg = cfg
         self.mesh = mesh
+        # pallas_call has no SPMD partitioning rule (same constraint as the
+        # fused mask finalize below): over a multi-device mesh the fused
+        # swin window attention must fall back to the XLA einsum path
+        if (mesh is not None and mesh.devices.size > 1
+                and getattr(cfg, 'fused_window_attn', 'auto') == 'auto'):
+            cfg.fused_window_attn = 'off'
         self.model = Yolact(cfg=cfg, train_mode=False)
         # Pin weights on device once — passing host numpy through jit would
         # re-upload the full parameter set on every call.
