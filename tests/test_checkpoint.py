@@ -141,3 +141,16 @@ def test_opt_state_roundtrip_and_fast_forward(tmp_path):
                 walk(v)
     walk(fser.to_state_dict(ff.opt_state))
     assert counts and all(c == 12345 for c in counts)
+
+
+def test_load_weights_auto_drops_none_collections(tmp_path, rng):
+    """Swin train payloads carry batch_stats=None (LayerNorm-only backbone);
+    inference loads must not pass a None collection into flax apply."""
+    from yolact_minimal_tpu.utils.checkpoint import load_weights_auto
+    payload = {'params': {'layer': {'kernel': rng.rand(3, 3).astype(np.float32)}},
+               'batch_stats': None, 'opt_state': None, 'step': 30}
+    path = str(tmp_path / 'latest_swin_tiny_custom_30.ckpt')
+    save_checkpoint(path, payload)
+    v = load_weights_auto(path, include_semantic=False)
+    assert 'batch_stats' not in v and 'opt_state' not in v and 'step' not in v
+    assert set(v) == {'params'}

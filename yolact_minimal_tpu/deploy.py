@@ -36,8 +36,10 @@ def export_model(cfg: Config, variables: dict, out_path: str,
     from jax import export as jexport
 
     model = Yolact(cfg=cfg, train_mode=False)
+    # `or {}`: swin latest_*.ckpt train payloads carry batch_stats=None
+    # (LayerNorm-only backbone) — a None collection breaks flax apply
     frozen = jax.device_put({'params': variables['params'],
-                             'batch_stats': variables.get('batch_stats', {})})
+                             'batch_stats': variables.get('batch_stats') or {}})
 
     def forward(images):
         return model.apply(frozen, images, train=False)

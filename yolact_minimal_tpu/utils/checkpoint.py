@@ -89,4 +89,8 @@ def load_weights_auto(path: str, include_semantic: bool) -> dict:
         variables['params'].pop('semantic_seg_conv', None)
         variables.pop('opt_state', None)
         variables.pop('step', None)
+        # train payloads of BN-free models (swin) store batch_stats=None;
+        # inference callers need real collections only
+        for k in [k for k, v in variables.items() if v is None]:
+            variables.pop(k)
     return variables
