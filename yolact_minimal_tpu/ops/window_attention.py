@@ -51,9 +51,12 @@ def _kernel(qkv_ref, bias_ref, region_ref, out_ref, *, heads, head_dim,
     qkv = qkv_ref[...]
     c = heads * head_dim
     if masked:
-        r = region_ref[...]                                   # [G, N] int32
-        madd = jnp.where(r[:, :, None] != r[:, None, :],
-                         jnp.float32(_NEG), jnp.float32(0.0))  # [G, N, N]
+        # NOTE: no rank-3 bools — this target's Mosaic rejects rank-3
+        # boolean select/&, so the additive mask is built with float
+        # arithmetic: min(|ri - rj|, 1) is 1 exactly where regions differ
+        r = region_ref[...].astype(jnp.float32)               # [G, N]
+        d = jnp.abs(r[:, :, None] - r[:, None, :])            # [G, N, N]
+        madd = jnp.minimum(d, 1.0) * jnp.float32(_NEG)
     for h in range(heads):
         lo = h * head_dim
         q = qkv[:, :, lo:lo + head_dim] * jnp.asarray(scale, qkv.dtype)
