@@ -14,6 +14,7 @@ The custom 4-class config keeps random-init softmax scores (~0.2) above the
 0.05 NMS threshold, so the comparison exercises real detections, NMS
 survivors, mask assembly, and greedy matching — not just empty tables.
 """
+import os
 import sys
 import types
 
@@ -30,7 +31,10 @@ from yolact_minimal_tpu.pipeline import Detector
 from yolact_minimal_tpu.utils.weights import convert_state_dict
 
 IMG = 256
-N_IMAGES = 8
+# CROSS_STACK_N scales the comparison set for out-of-suite evidence runs
+# (e.g. CROSS_STACK_N=100 python -m pytest ... -k trained -s); the standing
+# suite stays at 8 to keep CI time bounded.
+N_IMAGES = int(os.environ.get('CROSS_STACK_N', 8))
 
 # Stub the reference's unavailable third-party imports (pycocotools,
 # terminaltables, the compiled cython_nms) before importing its modules.
