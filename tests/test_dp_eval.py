@@ -70,3 +70,20 @@ def test_dp_traditional_nms_matches_single_device(rng):
     np.testing.assert_allclose(dets_1.scores, dets_8.scores, atol=1e-6)
     np.testing.assert_allclose(dets_1.boxes, dets_8.boxes, atol=1e-6)
     np.testing.assert_allclose(masks_1, masks_8, atol=1e-5)
+
+
+def test_dp_detector_disables_fused_window_attn(rng):
+    """pallas_call has no SPMD partitioning rule: a Detector built over a
+    multi-device mesh must resolve fused_window_attn 'auto' to 'off'
+    (pipeline.py guard; train.py has the matching guard for DP training)."""
+    cfg = get_config('swin_tiny_custom', mode='val', img_size=64)
+    assert cfg.fused_window_attn == 'auto'
+    model = Yolact(cfg=cfg, train_mode=False)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3), jnp.float32), train=False)
+    Detector(cfg, variables, mesh=make_mesh(8))
+    assert cfg.fused_window_attn == 'off'
+
+    cfg_single = get_config('swin_tiny_custom', mode='val', img_size=64)
+    Detector(cfg_single, variables)
+    assert cfg_single.fused_window_attn == 'auto'   # single device: untouched
