@@ -62,7 +62,8 @@ def _cost_flops(lowered):
 
 
 def bench_detect(cfg_name: str, img_size: int, batch: int,
-                 dtype: str = 'bfloat16', n_iters: int = 20):
+                 dtype: str = 'bfloat16', n_iters: int = 20,
+                 fused_window_attn: str = None):
     """img/s of the fully on-device detect path, plus forward-only MFU."""
     import jax
     import jax.numpy as jnp
@@ -73,6 +74,8 @@ def bench_detect(cfg_name: str, img_size: int, batch: int,
 
     cfg = get_config(cfg_name, mode='val', img_size=img_size,
                      compute_dtype=dtype)
+    if fused_window_attn:
+        cfg.fused_window_attn = fused_window_attn
     model = Yolact(cfg=cfg, train_mode=False)
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, img_size, img_size, 3), jnp.float32),
@@ -163,15 +166,18 @@ def bench_train_step(cfg_name: str, img_size: int, batch: int,
 
 def run_point(spec: str) -> dict:
     """Run one benchmark point in-process. spec:
-    '<detect|train>:<cfg>:<img_size>:<batch>[:<dtype>]'."""
+    '<detect|train>:<cfg>:<img_size>:<batch>[:<dtype>[:<fused_window_attn>]]'
+    (the optional 6th field — auto|on|off — A/Bs the swin Pallas kernel)."""
     parts = spec.split(':')
     kind, cfg_name, img_size, batch = parts[0], parts[1], int(parts[2]), int(parts[3])
     dtype = parts[4] if len(parts) > 4 else 'bfloat16'
+    fwa = parts[5] if len(parts) > 5 else None
     if kind == 'detect':
-        return bench_detect(cfg_name, img_size, batch, dtype)
+        return bench_detect(cfg_name, img_size, batch, dtype,
+                            fused_window_attn=fwa)
     if kind == 'train':
         return bench_train_step(cfg_name, img_size, batch, dtype)
-    raise ValueError(f'unknown point kind {kind!r}')
+    raise ValueError(f'unknown point kind {spec!r}')
 
 
 def run_point_isolated(spec: str, timeout_s: int = 720) -> dict:
