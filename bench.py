@@ -23,6 +23,7 @@ identical pair from a client cache (see docs/ARCHITECTURE.md).
 """
 from __future__ import annotations
 
+import copy
 import json
 import os
 import subprocess
@@ -49,9 +50,19 @@ def _mfu(flops_per_call, calls_per_s, dtype):
     return round(flops_per_call * calls_per_s / V5E_PEAK_FLOPS[dtype], 4)
 
 
-def _cost_flops(lowered):
+def _cost_flops(lowered, timeout_s: int = 120):
     """FLOPs of a compiled computation via XLA cost analysis (None if the
-    backend doesn't expose it)."""
+    backend doesn't expose it). The compile for the analysis usually hits
+    the backend's server-side cache (~2 s) but can be minutes cold, so it
+    runs under a SIGALRM guard — MFU is a bonus metric and must never eat
+    the sweep budget."""
+    import signal
+
+    def _raise(signum, frame):
+        raise TimeoutError
+
+    old = signal.signal(signal.SIGALRM, _raise)
+    signal.alarm(timeout_s)
     try:
         cost = lowered.compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
@@ -59,6 +70,21 @@ def _cost_flops(lowered):
         return float(cost.get('flops', 0.0)) or None
     except Exception:
         return None
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
+def _init_on_cpu(init_fn, *args):
+    """Run a flax init on the host CPU backend and move the result to the
+    default (TPU) device. The jitted init graph is as expensive to compile
+    remotely as the forward itself (~140 s measured at 256px) and its
+    output is just the parameter pytree — the CPU backend compiles it in
+    seconds and the one-time H2D transfer is ~100 MB."""
+    import jax
+    with jax.default_device(jax.devices('cpu')[0]):
+        out = init_fn(*args)
+    return jax.device_put(out, jax.devices()[0])
 
 
 def bench_detect(cfg_name: str, img_size: int, batch: int,
@@ -77,9 +103,17 @@ def bench_detect(cfg_name: str, img_size: int, batch: int,
     if fused_window_attn:
         cfg.fused_window_attn = fused_window_attn
     model = Yolact(cfg=cfg, train_mode=False)
-    variables = model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((1, img_size, img_size, 3), jnp.float32),
-                           train=False)
+    # init with the fused window attention off: the Pallas kernel can't
+    # lower on the CPU init device, and the param tree is identical either
+    # way (the fused/XLA split is downstream of the qkv/bias params)
+    cfg_i = copy.copy(cfg)
+    cfg_i.fused_window_attn = 'off'
+    model_i = Yolact(cfg=cfg_i, train_mode=False)
+    variables = _init_on_cpu(
+        lambda: model_i.init(jax.random.PRNGKey(0),
+                             jnp.zeros((1, img_size, img_size, 3),
+                                       jnp.float32),
+                             train=False))
     det = Detector(cfg, variables)
     import numpy as np
     images = jnp.asarray(
@@ -132,7 +166,21 @@ def bench_train_step(cfg_name: str, img_size: int, batch: int,
 
     cfg = get_config(cfg_name, mode='train', img_size=img_size,
                      train_bs=batch, max_gt=16, compute_dtype=dtype)
-    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    def _make_state():
+        # fused-off init for the same reason as bench_detect (same tree);
+        # the returned TrainState's apply_fn still follows cfg, so the
+        # timed step runs the real TPU path
+        from yolact_minimal_tpu.models.yolact import Yolact
+        cfg_i = copy.copy(cfg)
+        cfg_i.fused_window_attn = 'off'
+        import jax.numpy as jnp
+        dummy = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
+        variables = Yolact(cfg=cfg_i, train_mode=True).init(
+            jax.random.PRNGKey(0), dummy, train=True)
+        return create_train_state(cfg, jax.random.PRNGKey(0),
+                                  variables=variables)
+
+    state = _init_on_cpu(_make_state)
     step_fn = make_train_step(cfg, make_anchors_for(cfg))
 
     rng = np.random.RandomState(0)
@@ -293,10 +341,19 @@ def main():
                 extra[f'{key}_error'] = str(e)[:200]
                 return False
 
-        point('res101_coco_detect_544', 'detect:res101_coco:544:16')
+        # swin 544 FIRST among the extras: it is the round-4 perf target
+        # (VERDICT r03 #2) and the sweep budget rarely fits more than 2-3
+        # points after the headline. The 544 worker kill was root-caused
+        # and fixed in r03 (reshape PatchMerging), and every point runs in
+        # its own subprocess, so a regression can no longer blank the
+        # points that follow — they'd only time out inside their own
+        # budgets while the worker recovers.
+        point('swin_tiny_coco_detect_544_bs16', 'detect:swin_tiny_coco:544:16')
         point('res50_coco_train_544_bs8', 'train:res50_coco:544:8')
-        # swin last, ascending, stop at first failure (see SWIN_POINTS)
+        point('res101_coco_detect_544', 'detect:res101_coco:544:16')
         for img, b in SWIN_POINTS:
+            if img == 544:
+                continue  # covered above
             if not point(f'swin_tiny_coco_detect_{img}_bs{b}',
                          f'detect:swin_tiny_coco:{img}:{b}'):
                 break

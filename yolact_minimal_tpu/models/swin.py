@@ -305,12 +305,17 @@ class SwinTiny(nn.Module):
         off = 0
         for i, depth in enumerate(self.depths):
             dim = self.embed_dim * (2 ** i)
+            # Per-stage kernel choice (measured, v5e @544 b16, ms/call):
+            # stage0 6.2->2.6, stage1 2.9->1.4, stage2 1.2->1.0 favor the
+            # fused kernel; stage3 (24 heads, 9 windows) is 0.89->0.98 —
+            # blocks are too small to amortize, XLA wins. See
+            # docs/ARCHITECTURE.md decision table.
             x_out, x = SwinStage(
                 dim=dim, depth=depth, num_heads=self.num_heads[i],
                 drop_path_rates=tuple(dpr[off:off + depth]),
                 downsample=(i < len(self.depths) - 1),
                 dtype=self.dtype, remat=self.remat,
-                fused_attn=self.fused_attn,
+                fused_attn=self.fused_attn and i < 3,
                 name=f'stage{i}')(x, train=train)
             off += depth
             if i in (1, 2, 3):

@@ -9,10 +9,12 @@ lowering of this op (reference semantics:
 kernel keeps scores on-chip and amortizes per-op overhead over G windows
 per grid step.
 
-The shift mask is never materialized at [nW, N, N]: the kernel receives the
-[nW, N] int32 *region ids* of the shifted-window partition (reference
-BasicLayer:368-387 builds these as `img_mask`) and reconstructs the additive
--100 mask on the VPU — 20 KB of HBM traffic instead of megabytes.
+The shift mask enters the kernel as a precomputed [nW, N, N] f32 additive
+-100 mask built from the [nW, N] int32 *region ids* of the shifted-window
+partition (reference BasicLayer:368-387 builds these as `img_mask`). It is
+at most ~4 MB at the 544 geometries and is streamed per window block; a
+rank-2 region input would pin the block's leading dim to a multiple of 8,
+which nW=100 (544 stage 2) cannot satisfy.
 
 Training runs through ``jax.custom_vjp``: forward uses the kernel, backward
 recomputes via the equivalent XLA formulation's VJP (flash-style recompute —
@@ -30,7 +32,12 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = -100.0  # reference mask fill value (swin_transformer.py:385)
 
 
-_QKV_BLOCK_BYTES = 2.5e6  # per-block VMEM budget for the qkv input block
+# Per-block VMEM budget for the qkv input block. Empirical: 2.5e6 picked
+# G=80 at the 544 stage-1 geometry and overflowed the 16 MB scoped-vmem
+# limit by 4% (the compiler keeps double-buffered qkv/out blocks PLUS the
+# unrolled per-head score/prob temporaries live); 1.2e6 -> G=50 leaves
+# ~40% headroom at every stage geometry.
+_QKV_BLOCK_BYTES = 1.2e6
 
 
 def _pick_block(n_windows_img: int, n: int, c3: int, itemsize: int) -> int:
@@ -46,17 +53,12 @@ def _pick_block(n_windows_img: int, n: int, c3: int, itemsize: int) -> int:
     return best
 
 
-def _kernel(qkv_ref, bias_ref, region_ref, out_ref, *, heads, head_dim,
+def _kernel(qkv_ref, bias_ref, madd_ref, out_ref, *, heads, head_dim,
             scale, masked):
     qkv = qkv_ref[...]
     c = heads * head_dim
     if masked:
-        # NOTE: no rank-3 bools — this target's Mosaic rejects rank-3
-        # boolean select/&, so the additive mask is built with float
-        # arithmetic: min(|ri - rj|, 1) is 1 exactly where regions differ
-        r = region_ref[...].astype(jnp.float32)               # [G, N]
-        d = jnp.abs(r[:, :, None] - r[:, None, :])            # [G, N, N]
-        madd = jnp.minimum(d, 1.0) * jnp.float32(_NEG)
+        madd = madd_ref[...]                                  # [G, N, N] f32
     for h in range(heads):
         lo = h * head_dim
         q = qkv[:, :, lo:lo + head_dim] * jnp.asarray(scale, qkv.dtype)
@@ -106,9 +108,22 @@ def _attention_pallas(qkv, bias, region, heads, interpret=False):
     nw = region.shape[0] if region is not None else bnw
     g = _pick_block(nw, n, c3, jnp.dtype(qkv.dtype).itemsize)
     masked = region is not None
-    if not masked:
-        # dummy 1-window region input keeps the kernel signature uniform
-        region = jnp.zeros((g, n), jnp.int32)
+    if masked:
+        # Additive mask materialized OUTSIDE the kernel at [nW, N, N] f32
+        # (tiny: <=4 MB at the largest 544 geometry, folded by XLA). A
+        # rank-2 region-id input would force a (G, N) block whose leading
+        # dim must be a multiple of 8 — unsatisfiable when nW has no such
+        # divisor (e.g. nW=100 at 544 stage 2). A rank-3 input only
+        # constrains the LAST TWO dims (N, N), which are always full-size.
+        madd = jnp.where(region[:, :, None] != region[:, None, :],
+                         jnp.float32(_NEG), jnp.float32(0.0))
+        madd_block = (g, n, n)
+        madd_index = lambda i: (i % (nw // g), 0, 0)
+    else:
+        # dummy input keeps the kernel signature uniform; never read
+        madd = jnp.zeros((1, n, n), jnp.float32)
+        madd_block = (1, n, n)
+        madd_index = lambda i: (0, 0, 0)
     grid = (bnw // g,)
     kern = functools.partial(_kernel, heads=heads, head_dim=hd,
                              scale=hd ** -0.5, masked=masked)
@@ -118,13 +133,12 @@ def _attention_pallas(qkv, bias, region, heads, interpret=False):
         in_specs=[
             pl.BlockSpec((g, n, c3), lambda i: (i, 0, 0)),
             pl.BlockSpec((heads, n, n), lambda i: (0, 0, 0)),
-            pl.BlockSpec((g, n), (lambda i: (i % (nw // g), 0)) if masked
-                         else (lambda i: (0, 0))),
+            pl.BlockSpec(madd_block, madd_index),
         ],
         out_specs=pl.BlockSpec((g, n, c), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((bnw, n, c), qkv.dtype),
         interpret=interpret,
-    )(qkv, bias, region)
+    )(qkv, bias, madd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
