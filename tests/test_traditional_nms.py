@@ -100,8 +100,8 @@ def test_detector_traditional_dispatch(rng):
 
     # monkeypatch the device half with the crafted raw outputs
     boxes_dec = decode(jnp.asarray(box_p), det.anchors, clip=True)
-    det._infer_raw = lambda v, imgs: (jnp.asarray(class_p), boxes_dec,
-                                      jnp.asarray(coef_p), jnp.asarray(proto))
+    det._infer_raw = lambda imgs: (jnp.asarray(class_p), boxes_dec,
+                                   jnp.asarray(coef_p), jnp.asarray(proto))
 
     dets, masks_proto, proto_out = det(jnp.zeros((1, img, img, 3)))
     valid = np.asarray(dets.valid[0])

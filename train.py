@@ -216,8 +216,11 @@ def main():
         host_vars = {'params': jax.device_get(state.params),
                      'batch_stats': jax.device_get(state.batch_stats)}
         # build the jitted detector once; later rounds only swap weights
+        # (static_weights=False keeps the weights as jit ARGUMENTS so the
+        # swap needs no retrace — each val round reuses the compiled fns)
         if 'det' not in detector_cache:
-            detector_cache['det'] = Detector(val_cfg, host_vars)
+            detector_cache['det'] = Detector(val_cfg, host_vars,
+                                             static_weights=False)
         else:
             detector_cache['det'].update_variables(host_vars)
         detector = detector_cache['det']

@@ -42,7 +42,8 @@ class Detector:
     evaluates on one GPU only, eval.py:30; this exceeds it).
     """
 
-    def __init__(self, cfg: Config, variables: dict, mesh=None):
+    def __init__(self, cfg: Config, variables: dict, mesh=None,
+                 static_weights: bool = True):
         self.cfg = cfg
         self.mesh = mesh
         # pallas_call has no SPMD partitioning rule (same constraint as the
@@ -52,6 +53,18 @@ class Detector:
                 and getattr(cfg, 'fused_window_attn', 'auto') == 'auto'):
             cfg.fused_window_attn = 'off'
         self.model = Yolact(cfg=cfg, train_mode=False)
+        # With static_weights the parameter pytree is CLOSED OVER by the
+        # jitted graphs (jit constants) instead of passed as call arguments.
+        # Measured on the tunneled v5e: successive dispatches that share
+        # non-donated argument buffers do not pipeline — the swin-544 detect
+        # sustained 88.2 ms/dispatch as-args vs 59.7 ms as-constants against
+        # a 58.6 ms device compute (profiler-verified); a single flat packed
+        # weight argument reproduced 87.4 ms, so it is buffer sharing, not
+        # argument count. Weights-as-constants restores back-to-back device
+        # execution. The cost: swapping weights retraces (update_variables);
+        # in-training validation passes static_weights=False to keep its
+        # swap-without-retrace behavior.
+        self.static_weights = static_weights
         # Pin weights on device once — passing host numpy through jit would
         # re-upload the full parameter set on every call.
         weights = {'params': variables['params'],
@@ -63,8 +76,11 @@ class Detector:
             self.variables = jax.device_put(weights)
         self.anchors = jnp.asarray(make_anchors(cfg.img_size, cfg.aspect_ratios,
                                                 cfg.scales))
+        self._build_jits()
 
-        @jax.jit
+    def _build_jits(self):
+        cfg = self.cfg
+
         def _infer(variables, images):
             class_p, box_p, coef_p, proto = self.model.apply(variables, images,
                                                              train=False)
@@ -77,9 +93,6 @@ class Detector:
             )(proto, dets)
             return dets, masks_proto, proto
 
-        self._infer = _infer
-
-        @functools.partial(jax.jit, static_argnums=(2,))
         def _infer_fixed(variables, images, out_size):
             class_p, box_p, coef_p, proto = self.model.apply(variables, images,
                                                              train=False)
@@ -115,9 +128,6 @@ class Detector:
                     lambda m: finalize_masks_fixed(m, out_size))(masks_proto)
             return dets, masks
 
-        self._infer_fixed = _infer_fixed
-
-        @jax.jit
         def _infer_raw(variables, images):
             """Forward + box decode only — the device half of the
             --traditional_nms path; greedy suppression runs host-side."""
@@ -126,11 +136,25 @@ class Detector:
             boxes = decode(box_p, self.anchors, clip=True)
             return class_p, boxes, coef_p, proto
 
-        self._infer_raw = _infer_raw
+        if self.static_weights:
+            v = self.variables
+            self._infer = jax.jit(functools.partial(_infer, v))
+            self._infer_fixed = jax.jit(functools.partial(_infer_fixed, v),
+                                        static_argnums=(1,))
+            self._infer_raw = jax.jit(functools.partial(_infer_raw, v))
+        else:
+            bound_infer = jax.jit(_infer)
+            bound_fixed = jax.jit(_infer_fixed, static_argnums=(2,))
+            bound_raw = jax.jit(_infer_raw)
+            self._infer = lambda *a: bound_infer(self.variables, *a)
+            self._infer_fixed = lambda *a: bound_fixed(self.variables, *a)
+            self._infer_raw = lambda *a: bound_raw(self.variables, *a)
 
     def update_variables(self, variables: dict):
-        """Swap in new weights without retracing the jitted graphs (used by
-        in-training validation so each val round reuses the compiled fns)."""
+        """Swap in new weights. With static_weights=False (in-training
+        validation) the jitted graphs take the weights as arguments and are
+        NOT retraced; with static_weights=True the weights are baked-in
+        constants, so the jits are rebuilt (retrace on next call)."""
         weights = {'params': variables['params'],
                    'batch_stats': variables.get('batch_stats') or {}}
         if self.mesh is not None:
@@ -138,6 +162,8 @@ class Detector:
             self.variables = jax.device_put(weights, replicated(self.mesh))
         else:
             self.variables = jax.device_put(weights)
+        if self.static_weights:
+            self._build_jits()
 
     def _shard(self, images: jnp.ndarray) -> jnp.ndarray:
         if self.mesh is None:
@@ -155,7 +181,7 @@ class Detector:
         host numpy slates (same shapes/interface) for --traditional_nms."""
         if self.cfg.traditional_nms:
             return self._call_traditional(images)
-        return self._infer(self.variables, self._shard(images))
+        return self._infer(self._shard(images))
 
     def _call_traditional(self, images: jnp.ndarray):
         """--traditional_nms dispatch (reference output_utils.py:126-134):
@@ -168,7 +194,7 @@ class Detector:
         # the jitted forward+decode is sharded over the mesh like the
         # fast-NMS path; only the greedy suppression tail is host-side
         class_p, boxes_all, coef_p, proto = jax.device_get(
-            self._infer_raw(self.variables, self._shard(images)))
+            self._infer_raw(self._shard(images)))
         bsz, _, n_coef = coef_p.shape
         ph, pw = proto.shape[1:3]
         d = cfg.max_detections
@@ -198,7 +224,7 @@ class Detector:
 
     def detect_fixed(self, images: jnp.ndarray, out_size: int):
         """Fully on-device detect with square binarized masks [B, D, S, S]."""
-        return self._infer_fixed(self.variables, self._shard(images), out_size)
+        return self._infer_fixed(self._shard(images), out_size)
 
     def postprocess_host(self, dets: Detections, masks_proto, img_h: int,
                          img_w: int, visual_thre: Optional[float] = None
