@@ -216,6 +216,8 @@ def run_point(spec: str) -> dict:
     """Run one benchmark point in-process. spec:
     '<detect|train>:<cfg>:<img_size>:<batch>[:<dtype>[:<fused_window_attn>]]'
     (the optional 6th field — auto|on|off — A/Bs the swin Pallas kernel)."""
+    from yolact_minimal_tpu.utils.compile_cache import enable
+    enable()   # persistent executable cache: re-runs compile in ~2 s
     parts = spec.split(':')
     kind, cfg_name, img_size, batch = parts[0], parts[1], int(parts[2]), int(parts[3])
     dtype = parts[4] if len(parts) > 4 else 'bfloat16'
@@ -272,6 +274,8 @@ def main():
         return
 
     if args.train:
+        from yolact_minimal_tpu.utils.compile_cache import enable
+        enable()
         r = bench_train_step(args.cfg, args.img_size, args.batch)
         print(json.dumps({
             'metric': f'train-step img/s at {args.img_size}px, {args.cfg}, '

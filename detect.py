@@ -41,6 +41,8 @@ def _detect_one(detector, cfg, img_normed, img_origin, img_name=None, fps=None):
 
 
 def main():
+    from yolact_minimal_tpu.utils.compile_cache import enable as enable_compile_cache
+    enable_compile_cache()
     parser = argparse.ArgumentParser(description='YOLACT-TPU Detection')
     parser.add_argument('--weight', type=str, required=True)
     parser.add_argument('--image', default=None, type=str,

@@ -28,6 +28,8 @@ from yolact_minimal_tpu.utils.visualize import draw_img
 
 
 def main():
+    from yolact_minimal_tpu.utils.compile_cache import enable as enable_compile_cache
+    enable_compile_cache()
     p = argparse.ArgumentParser()
     p.add_argument('--artifact', type=str, required=True)
     p.add_argument('--image', default=None, type=str)

@@ -153,6 +153,8 @@ def _eval_loop(detector, cfg, dataset, n, bs, progress, ap_data, make_json,
 
 
 def main():
+    from yolact_minimal_tpu.utils.compile_cache import enable as enable_compile_cache
+    enable_compile_cache()
     parser = argparse.ArgumentParser(description='YOLACT-TPU Evaluation')
     parser.add_argument('--weight', type=str, required=True)
     parser.add_argument('--img_size', type=int, default=544)

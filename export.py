@@ -12,6 +12,8 @@ from yolact_minimal_tpu.utils.checkpoint import load_weights_auto
 
 
 def main():
+    from yolact_minimal_tpu.utils.compile_cache import enable as enable_compile_cache
+    enable_compile_cache()
     p = argparse.ArgumentParser()
     p.add_argument('--weight', type=str, required=True)
     p.add_argument('--img_size', type=int, default=544)

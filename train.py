@@ -47,6 +47,9 @@ def _tb_writer(cfg_name):
 def main():
     import jax
 
+    from yolact_minimal_tpu.utils.compile_cache import enable as enable_compile_cache
+    enable_compile_cache()
+
     parser = argparse.ArgumentParser(description='YOLACT-TPU Training')
     parser.add_argument('--cfg', default='res101_coco')
     parser.add_argument('--train_bs', type=int, default=8,
