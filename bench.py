@@ -294,12 +294,15 @@ def main():
     head_spec = f'detect:{args.cfg}:{args.img_size}:{args.batch}'
     head = None
     head_err = None
-    # up to two subprocess attempts (a fresh client can land in a worker
-    # recovery window; the retry often succeeds), each bounded so the
-    # second still fits under the deadline.
-    for attempt in range(2):
-        budget = min(max(remaining() - 90, 60), 420 if attempt == 0 else remaining() - 30)
-        if budget < 60:
+    # Retry the headline while deadline remains. Attempts are NOT wasted:
+    # each child enables the persistent compile cache, so a cold compile
+    # that outlives one attempt's budget resumes from its cached
+    # sub-executables in the next (observed: a >570 s cold 544 compile
+    # completing across retries). Each attempt is capped at 420 s so a
+    # hung client in a worker-recovery window can't eat the whole budget.
+    while True:
+        budget = min(max(remaining() - 90, 60), 420.0)
+        if remaining() < 150:
             break
         try:
             head = run_point_isolated(head_spec, timeout_s=budget)

@@ -5,9 +5,11 @@ every entry point (2-14 min for a 544px graph, re-paid by every fresh
 process: the backend's server-side cache does NOT reliably hit across
 clients — measured 13.5 min for a re-compile of an already-compiled
 headline graph under load). JAX's persistent cache serializes the compiled
-executable to disk and restores it in ~2 s in any later process (measured
-63.6 s -> 2.16 s on this backend), so every CLI (train/eval/detect/bench)
-enables it before first device use.
+executable to disk and restores it in any later process: ~2 s for small
+graphs (measured 63.6 s -> 2.16 s), but **~113 s for the 544px detect
+executable** (deserialize + remote load; still ~5x better than its cold
+compile, which exceeds 570 s). Every CLI (train/eval/detect/bench) enables
+it before first device use.
 
 The reference has no analog (torch caches kernels in-process only); this is
 the TPU-native answer to its "first iteration is slow" warmup note
