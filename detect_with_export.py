@@ -4,7 +4,11 @@
 Runs the serialized AOT graph and finishes detection with the numpy-twin
 postprocess — the analog of the reference's ONNXRuntime/TensorRT drivers
 (/root/reference/detect_with_onnx.py, detect_with_trt.py): no model-building
-code, no flax, just the artifact + numpy + cv2.
+code, no flax, just the artifact + numpy + cv2. Like the TRT driver's async
+H2D/D2H streaming (detect_with_trt.py:109-126), the loop overlaps host work
+with device compute: a reader thread decodes + val_augs the NEXT chunk and a
+writer thread postprocesses + draws the PREVIOUS one while the graph runs,
+and chunks are sized to the artifact's compiled batch (tail padded).
 """
 from __future__ import annotations
 
@@ -13,6 +17,7 @@ import glob
 import os
 import os.path as osp
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 import cv2
 import numpy as np
@@ -43,6 +48,7 @@ def main():
     args = p.parse_args()
 
     call, meta, anchors = load_exported(args.artifact)
+    bs = int(meta.get('batch', 1))
     cfg = get_config(meta['name'], mode='detect', img_size=meta['img_size'],
                      visual_thre=args.visual_thre, hide_mask=args.hide_mask,
                      hide_bbox=args.hide_bbox, hide_score=args.hide_score,
@@ -52,40 +58,73 @@ def main():
     out_dir = 'results/export_images'
     os.makedirs(out_dir, exist_ok=True)
 
-    def run_one(img_origin, img_name=None, fps=None):
+    def postprocess_one(outs, j, img_origin, img_name=None, fps=None):
+        """Numpy tail for element j of a device chunk: decode+NMS+masks+draw."""
+        class_p, box_p, coef_p, proto = outs
         h, w = img_origin.shape[:2]
-        normed = val_aug(img_origin, cfg.img_size)
-        class_p, box_p, coef_p, proto = [np.asarray(o)
-                                         for o in call(normed[None])]
         boxes, coefs, ids, scores = detect_postprocess_numpy(
-            class_p[0], box_p[0], coef_p[0], anchors, cfg.nms_score_thre,
+            class_p[j], box_p[j], coef_p[j], anchors, cfg.nms_score_thre,
             cfg.nms_iou_thre, cfg.top_k, cfg.max_detections)
         ids, scores, boxes_pix, masks = after_nms_numpy(
-            ids, scores, boxes, coefs, proto[0], h, w,
+            ids, scores, boxes, coefs, proto[j], h, w,
             visual_thre=cfg.visual_thre, do_crop=not cfg.no_crop)
         return draw_img(ids, scores, boxes_pix, masks, img_origin, cfg,
                         img_name=img_name, fps=fps, out_dir=out_dir)
+
+    def run_chunk(normed):
+        """One graph dispatch on a padded chunk; returns the 4 output arrays."""
+        x = np.stack(normed, 0).astype(np.float32)
+        if len(normed) < bs:
+            x = np.concatenate([x, np.repeat(x[-1:], bs - len(normed), 0)], 0)
+        return [np.asarray(o) for o in call(x)]
 
     if args.image:
         paths = sorted(glob.glob(osp.join(args.image, '*.jpg')) +
                        glob.glob(osp.join(args.image, '*.png')))
         assert paths, 'No images found.'
+        chunks = [paths[i:i + bs] for i in range(0, len(paths), bs)]
         progress = ProgressBar(40, len(paths))
+        reader = ThreadPoolExecutor(2)
+        writer = ThreadPoolExecutor(1)
+
+        def read_chunk(chunk):
+            imgs = [cv2.imread(pth) for pth in chunk]
+            return imgs, [val_aug(im, cfg.img_size) for im in imgs]
+
+        def finish_chunk(chunk, imgs, outs):
+            for j, pth in enumerate(chunk):
+                out = postprocess_one(outs, j, imgs[j],
+                                      img_name=osp.basename(pth))
+                cv2.imwrite(osp.join(out_dir, osp.basename(pth)), out)
+
         timer.reset()
-        for i, path in enumerate(paths):
-            if i == 1:
+        done = 0
+        prev = None
+        pending = None
+        fut = reader.submit(read_chunk, chunks[0])
+        for ci, chunk in enumerate(chunks):
+            if ci == 1:
                 timer.start()
-            img = cv2.imread(path)
+            imgs, normed = fut.result()
+            if ci + 1 < len(chunks):
+                fut = reader.submit(read_chunk, chunks[ci + 1])
             with timer.counter('detect'):
-                out = run_one(img, img_name=osp.basename(path))
-            cv2.imwrite(osp.join(out_dir, osp.basename(path)), out)
+                outs = run_chunk(normed)
+            if pending is not None:
+                pending.result()
+            pending = writer.submit(finish_chunk, chunk, imgs, outs)
+            done += len(chunk)
             now = time.perf_counter()
-            if i > 0:
+            if ci > 0:
                 timer.add_batch_time(now - prev)
                 t_t, = timer.get_times(['batch'])
-                print(f'\r{progress.get_bar(i + 1)} {i + 1}/{len(paths)} '
-                      f'fps: {1 / max(t_t, 1e-9):.2f}', end='')
+                print(f'\r{progress.get_bar(done)} {done}/{len(paths)} '
+                      f'fps: {bs / max(t_t, 1e-9):.2f}', end='')
             prev = now
+        if pending is not None:
+            pending.result()
+        reader.shutdown(wait=True)
+        writer.shutdown(wait=True)
         print(f'\nFinished, saved in: {out_dir}')
     elif args.video:
         vid = cv2.VideoCapture(args.video)
@@ -95,24 +134,56 @@ def main():
         n = round(vid.get(cv2.CAP_PROP_FRAME_COUNT))
         name = osp.basename(args.video)
         os.makedirs('results/export_videos', exist_ok=True)
-        writer = cv2.VideoWriter(f'results/export_videos/{name}',
-                                 cv2.VideoWriter_fourcc(*'mp4v'),
-                                 fps_target, (fw, fh))
-        t_fps = 0.0
-        prev = None
-        for i in range(n):
-            frame = vid.read()[1]
-            if frame is None:
-                break
-            out = run_one(frame, fps=t_fps)
-            writer.write(out)
-            now = time.perf_counter()
-            if prev is not None:
-                t_fps = 1 / max(now - prev, 1e-9)
-            prev = now
-        vid.release()
-        writer.release()
-        print(f'Finished, saved in: results/export_videos/{name}')
+        writer_v = cv2.VideoWriter(f'results/export_videos/{name}',
+                                   cv2.VideoWriter_fourcc(*'mp4v'),
+                                   fps_target, (fw, fh))
+        io_pool = ThreadPoolExecutor(1)
+        write_pool = ThreadPoolExecutor(1)
+
+        def read_batch():
+            frames = []
+            while len(frames) < bs:
+                frame = vid.read()[1]
+                if frame is None:
+                    break
+                frames.append(frame)
+            return frames, [val_aug(f, cfg.img_size) for f in frames]
+
+        def finish_batch(frames, outs, t_fps):
+            for j, frame in enumerate(frames):
+                writer_v.write(postprocess_one(outs, j, frame, fps=t_fps))
+
+        done, t_fps, t0, warm = 0, 0.0, None, 0
+        pending = None
+        fut = io_pool.submit(read_batch)
+        try:
+            while True:
+                frames, normed = fut.result()
+                if not frames:
+                    break
+                fut = io_pool.submit(read_batch)
+                outs = run_chunk(normed)
+                if pending is not None:
+                    pending.result()
+                pending = write_pool.submit(finish_batch, frames, outs, t_fps)
+                done += len(frames)
+                if t0 is None:
+                    t0 = time.perf_counter()   # exclude compile/warmup batch
+                    warm = done
+                else:
+                    t_fps = (done - warm) / max(time.perf_counter() - t0, 1e-9)
+                print(f'\rDetecting: {done}/{n}, total fps: {t_fps:.2f}',
+                      end='')
+            if pending is not None:
+                pending.result()
+        finally:
+            fut.cancel()
+            io_pool.shutdown(wait=True)
+            write_pool.shutdown(wait=True)
+            vid.release()
+            writer_v.release()
+        print(f'\nFinished, saved in: results/export_videos/{name} '
+              f'({t_fps:.1f} fps sustained)')
     else:
         p.error('Provide --image <folder> or --video <path>.')
 

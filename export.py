@@ -19,13 +19,17 @@ def main():
     p.add_argument('--img_size', type=int, default=544)
     p.add_argument('--out', type=str, default=None)
     p.add_argument('--cfg', type=str, default=None)
+    p.add_argument('--batch', type=int, default=1,
+                   help='Compiled batch size of the artifact (the driver '
+                        'pads the tail chunk; batch>1 multiplies deploy '
+                        'throughput on TPU).')
     args = p.parse_args()
 
     name = args.cfg or cfg_name_from_weight(args.weight)
     cfg = get_config(name, mode='val', img_size=args.img_size)
     variables = load_weights_auto(args.weight, include_semantic=False)
     out = args.out or args.weight.rsplit('.', 1)[0] + '.jexport'
-    export_model(cfg, variables, out)
+    export_model(cfg, variables, out, batch=args.batch)
     print(f'Exported to {out}')
 
 

@@ -1,4 +1,4 @@
-import time, copy
+import time
 T0=time.perf_counter()
 def mark(s): print(f'{time.perf_counter()-T0:8.1f}s  {s}', flush=True)
 from yolact_minimal_tpu.utils.compile_cache import enable

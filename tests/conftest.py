@@ -26,6 +26,13 @@ assert jax.default_backend() == 'cpu', jax.default_backend()
 assert len(jax.devices()) == 8, jax.devices()
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        'markers',
+        'slow: multi-minute tests (model parity, train steps, multihost, '
+        'deploy). Quick tier: pytest -m "not slow" (<3 min on the CPU mesh).')
+
+
 @pytest.fixture(scope='session')
 def rng():
     return np.random.RandomState(0)

@@ -2,6 +2,8 @@
 common_utils.py:41-63, train.py:51-53)."""
 import os
 
+import pytest
+
 import numpy as np
 
 from yolact_minimal_tpu.config import cfg_name_from_weight
@@ -56,6 +58,7 @@ def test_filename_metadata_parsing():
     assert cfg_name_from_weight('latest_swin_tiny_coco_100.ckpt') == 'swin_tiny_coco'
 
 
+@pytest.mark.slow
 def test_detector_accepts_stats_free_checkpoint(rng):
     """Swin checkpoints carry batch_stats=None (LayerNorm-only backbone);
     the Detector must normalize that to an empty collection — flax apply
@@ -79,6 +82,7 @@ def test_detector_accepts_stats_free_checkpoint(rng):
     assert np.isfinite(np.asarray(dets.scores)).all()
 
 
+@pytest.mark.slow
 def test_opt_state_roundtrip_and_fast_forward(tmp_path):
     """latest checkpoints carry optimizer state; resume restores momentum and
     the LR-schedule position exactly, and legacy weights-only checkpoints get

@@ -93,6 +93,93 @@ def test_crowd_gt_is_ignore_region(tmp_path):
     assert stats[0] == pytest.approx(1.0)
 
 
+def test_full_protocol_golden(tmp_path):
+    """Hand-derived 12-number golden for a combined scenario (crowd ignore +
+    area-range ignores + localization thresholds + maxDets), pinning the full
+    COCO summary exactly. pycocotools is not installable in this environment,
+    so the expected values are derived by hand below, following the published
+    protocol (pycocotools cocoeval.py: evaluateImg/accumulate/summarize);
+    every number is a closed-form fraction.
+
+    Scenario (images 200x200):
+      cat1 gts: g1 img1 [0,0,20,20]   area 400  -> small
+                g2 img1 [100,100,50,50] iscrowd=1 (ignore region)
+                g3 img2 [0,0,40,40]    area 1600 -> medium
+      cat2 gts: g4 img1 [0,100,100,100] area 10000 -> large
+      cat1 dets: d1 img1 [0,0,20,16]    s=.90  IoU(g1)=.8, det area 320 (small)
+                 d2 img1 [110,110,30,30] s=.85 inside crowd -> ignored, all thrs
+                 d3 img2 [0,0,40,20]    s=.70  IoU(g3)=.5, det area 800 (small)
+                 d4 img2 [100,100,10,10] s=.60 pure FP, det area 100 (small)
+      cat2 dets: d5 img1 [0,100,100,90] s=.95  IoU(g4)=.9, det area 9000 (MEDIUM)
+
+    Derivation highlights:
+      cat1 all:  thr .50: TP d1, TP d3, FP d4          -> AP 1.0,    R 1.0
+                 thr .55-.80 (6): TP d1, FP d3, FP d4  -> AP 51/101, R .5
+                   (rc plateaus at .5; 101-pt interp gives 51 points of 1.0)
+                 thr .85-.95 (3): no TP                -> AP 0,      R 0
+                 => AP_cat1 = (1 + 6*51/101)/10, AR_cat1 = .4 (any maxDets)
+      cat2 all:  TP for thr<=.90 (9 thrs), FP at .95   => AP .9, AR .9
+      small:  only g1 counts (g3 out of range -> d3's match is ignored at .50,
+              but d3 becomes an in-range FP once unmatched at thr>.50);
+              cat2 has no small gt -> excluded        => APs = ARs = 7/10
+      medium: only g3 counts; every det except d3@.50 is ignored (matched to
+              out-of-range g1, or unmatched+out-of-range)  => APm = ARm = 1/10
+      large:  only g4; d5 matched -> TP thr<=.90; at .95 unmatched d5 (area
+              9000 = medium) is out-of-range -> ignored, not FP => APl/ARl = .9
+    """
+    gt = _gt(tmp_path, [
+        dict(image_id=1, category_id=1, bbox=[0, 0, 20, 20], segmentation=[]),
+        dict(image_id=2, category_id=1, bbox=[0, 0, 40, 40], segmentation=[]),
+        dict(image_id=1, category_id=2, bbox=[0, 100, 100, 100], segmentation=[]),
+    ], size=200)
+    crowd = dict(id=99, image_id=1, category_id=1, bbox=[100, 100, 50, 50],
+                 segmentation=[], iscrowd=1, area=2500)
+    gt.dataset['annotations'].append(crowd)
+    gt.anns[99] = crowd
+    gt.imgToAnns[1].append(crowd)
+
+    dets = [
+        dict(image_id=1, category_id=1, bbox=[0, 0, 20, 16], score=0.90),
+        dict(image_id=1, category_id=1, bbox=[110, 110, 30, 30], score=0.85),
+        dict(image_id=2, category_id=1, bbox=[0, 0, 40, 20], score=0.70),
+        dict(image_id=2, category_id=1, bbox=[100, 100, 10, 10], score=0.60),
+        dict(image_id=1, category_id=2, bbox=[0, 100, 100, 90], score=0.95),
+    ]
+    expected = [
+        (1 + 6 * 51 / 101 + 9) / 20,   # AP   = .65149
+        1.0,                           # AP50
+        (51 / 101 + 1) / 2,            # AP75 = .75248
+        0.7,                           # APs
+        0.1,                           # APm
+        0.9,                           # APl
+        0.65, 0.65, 0.65,              # AR1 / AR10 / AR100
+        0.7, 0.1, 0.9,                 # ARs / ARm / ARl
+    ]
+    e = COCOEvaluator(gt, dets, 'bbox')
+    e.evaluate(); e.accumulate()
+    stats = e.summarize(quiet=True)
+    np.testing.assert_allclose(stats, expected, atol=1e-9)
+
+    # segm cross-check: exact rectangular masks of the same boxes must
+    # reproduce the identical 12 numbers through the RLE/mask-IoU path
+    from yolact_minimal_tpu.data.coco_io import mask_to_rle
+
+    def rect_rle(bbox):
+        x, y, w, h = bbox
+        m = np.zeros((200, 200), np.uint8)
+        m[y:y + h, x:x + w] = 1
+        return mask_to_rle(m)
+
+    for a in gt.dataset['annotations']:
+        a['segmentation'] = rect_rle(a['bbox'])
+    for d in dets:
+        d['segmentation'] = rect_rle(d['bbox'])
+    e = COCOEvaluator(gt, dets, 'segm')
+    e.evaluate(); e.accumulate()
+    stats = e.summarize(quiet=True)
+    np.testing.assert_allclose(stats, expected, atol=1e-9)
+
+
 def test_area_ranges(tmp_path):
     gt = _gt(tmp_path, [
         dict(image_id=1, category_id=1, bbox=[10, 10, 20, 20], segmentation=[]),   # small (400)

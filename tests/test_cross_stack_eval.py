@@ -21,6 +21,8 @@ import types
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax.numpy as jnp
 
 from yolact_minimal_tpu.config import get_config
@@ -71,9 +73,17 @@ def setup(tmp_path_factory):
     import torch
     from modules.yolact import Yolact as RefYolact
 
-    root = tmp_path_factory.mktemp('cross_stack')
-    img_dir, ann = generate_dataset(str(root), num_images=N_IMAGES,
-                                    img_size=IMG, num_classes=4, seed=7)
+    # CROSS_STACK_DATASET points at a checked-in dataset (images/ +
+    # annotations.json), e.g. eval1k_dataset/ for the N=1000 evidence run;
+    # default generates a fresh synthetic sample
+    ds_root = os.environ.get('CROSS_STACK_DATASET')
+    if ds_root:
+        img_dir = os.path.join(ds_root, 'images')
+        ann = os.path.join(ds_root, 'annotations.json')
+    else:
+        root = tmp_path_factory.mktemp('cross_stack')
+        img_dir, ann = generate_dataset(str(root), num_images=N_IMAGES,
+                                        img_size=IMG, num_classes=4, seed=7)
     cfg = get_config('res50_custom', mode='val', img_size=IMG,
                      val_imgs=img_dir, val_ann=ann,
                      train_imgs=img_dir, train_ann=ann)

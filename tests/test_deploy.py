@@ -3,6 +3,8 @@ postprocess parity against the on-device path."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 
@@ -40,6 +42,28 @@ def test_export_roundtrip(exported, rng):
     assert class_p.shape == (1, a, 81)
     assert anchors.shape == (a, 4)
     np.testing.assert_allclose(np.asarray(class_p).sum(-1), 1.0, atol=1e-4)
+
+
+def test_batched_export_matches_per_image(exported, tmp_path, rng):
+    """A batch>1 artifact (the deploy-throughput path, VERDICT r04 #7) must
+    produce per-element outputs identical to the batch=1 artifact."""
+    cfg, path1 = exported
+    model = Yolact(cfg=cfg, train_mode=False)
+    variables = model.init(jax.random.PRNGKey(3),
+                           jnp.zeros((1, IMG, IMG, 3), jnp.float32),
+                           train=False)
+    path3 = str(tmp_path / 'model_b3.jexport')
+    export_model(cfg, variables, path3, check_parity=True, batch=3)
+
+    call1, meta1, _ = load_exported(path1)
+    call3, meta3, _ = load_exported(path3)
+    assert meta1.get('batch', 1) == 1 and meta3['batch'] == 3
+    imgs = rng.rand(3, IMG, IMG, 3).astype(np.float32)
+    outs3 = [np.asarray(o) for o in call3(imgs)]
+    for j in range(3):
+        outs1 = [np.asarray(o) for o in call1(imgs[j:j + 1])]
+        for a, b in zip(outs1, outs3):
+            np.testing.assert_allclose(a[0], b[j], atol=1e-5)
 
 
 def test_numpy_postprocess_matches_device(exported, rng):

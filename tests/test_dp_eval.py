@@ -5,6 +5,8 @@ test_train_step.py; the reference evaluates on one GPU only, eval.py:30)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 
@@ -72,18 +74,24 @@ def test_dp_traditional_nms_matches_single_device(rng):
     np.testing.assert_allclose(masks_1, masks_8, atol=1e-5)
 
 
-def test_dp_detector_disables_fused_window_attn(rng):
-    """pallas_call has no SPMD partitioning rule: a Detector built over a
-    multi-device mesh must resolve fused_window_attn 'auto' to 'off'
-    (pipeline.py guard; train.py has the matching guard for DP training)."""
-    cfg = get_config('swin_tiny_custom', mode='val', img_size=64)
-    assert cfg.fused_window_attn == 'auto'
+def test_dp_detector_keeps_fused_window_attn(rng):
+    """The fused window attention shard_maps over the data axis (interpret
+    mode on this CPU mesh): a swin Detector over an 8-device mesh with the
+    kernel forced ON must produce the same slates as the single-device
+    fused Detector — DP eval keeps the Pallas fast path (round-4 'off'
+    guard removed)."""
+    cfg = get_config('swin_tiny_custom', mode='val', img_size=64,
+                     nms_score_thre=0.002, fused_window_attn='on')
     model = Yolact(cfg=cfg, train_mode=False)
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, 64, 64, 3), jnp.float32), train=False)
-    Detector(cfg, variables, mesh=make_mesh(8))
-    assert cfg.fused_window_attn == 'off'
+    images = jnp.asarray(rng.rand(8, 64, 64, 3).astype(np.float32))
 
-    cfg_single = get_config('swin_tiny_custom', mode='val', img_size=64)
-    Detector(cfg_single, variables)
-    assert cfg_single.fused_window_attn == 'auto'   # single device: untouched
+    dets_1, masks_1, _ = Detector(cfg, variables)(images)
+    dets_8, masks_8, _ = Detector(cfg, variables, mesh=make_mesh(8))(images)
+
+    np.testing.assert_array_equal(dets_1.ids, dets_8.ids)
+    np.testing.assert_array_equal(dets_1.valid, dets_8.valid)
+    np.testing.assert_allclose(dets_1.scores, dets_8.scores, atol=1e-6)
+    np.testing.assert_allclose(dets_1.boxes, dets_8.boxes, atol=1e-6)
+    np.testing.assert_allclose(masks_1, masks_8, atol=1e-5)

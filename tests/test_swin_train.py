@@ -1,6 +1,9 @@
 """Swin-Tiny training-path smoke test: AdamW step runs, losses finite, and
 stochastic depth draws rngs correctly in train mode."""
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
 
 import jax
 import jax.numpy as jnp

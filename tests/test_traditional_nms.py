@@ -2,6 +2,7 @@
 conventions (+1 pixel areas, suppression at IoU >= threshold; see
 /root/reference/cython_nms.pyx:24-74)."""
 import numpy as np
+import pytest
 
 from yolact_minimal_tpu.ops.traditional_nms import greedy_nms, traditional_nms
 
@@ -64,6 +65,7 @@ def test_traditional_nms_full_path(rng):
     assert ids.max() < c
 
 
+@pytest.mark.slow
 def test_detector_traditional_dispatch(rng):
     """--traditional_nms wiring: Detector must dispatch to the C++ greedy
     path and its padded slate must roughly agree with fast-NMS on the same

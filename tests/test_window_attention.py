@@ -75,6 +75,37 @@ def test_fused_grad_matches_xla_grad():
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize('masked', [False, True])
+def test_fused_spmd_matches_single_device(masked):
+    """With a data mesh declared, the fused kernel runs under shard_map on
+    the batch axis (per-device Pallas dispatch); outputs must equal the
+    single-device kernel on the same global batch, sharded input or not."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from yolact_minimal_tpu.ops.window_attention import set_spmd_mesh
+    from yolact_minimal_tpu.parallel.mesh import make_mesh
+
+    heads, c, hp = 3, 96, 28
+    nw = (hp // 7) ** 2
+    b = 8
+    qkv = _mk(b * nw, c, jnp.float32)
+    bias = _bias(heads, jnp.float32)
+    region = (jnp.asarray(shifted_window_regions(hp, hp).astype(np.int32))
+              if masked else None)
+    ref = window_attention_fused(qkv, bias, region, heads)
+
+    mesh = make_mesh(8)
+    qkv_sharded = jax.device_put(qkv, NamedSharding(mesh, P('data')))
+    set_spmd_mesh(mesh)
+    try:
+        out = jax.jit(window_attention_fused, static_argnums=(3,))(
+            qkv_sharded, bias, region, heads)
+    finally:
+        set_spmd_mesh(None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_swin_block_fused_matches_unfused():
     """Whole SwinBlock (shifted, so the mask path is exercised) with
     fused_attn on vs off must agree."""

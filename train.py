@@ -133,11 +133,9 @@ def main():
     n_dev = mesh.devices.size
     assert cfg.train_bs % n_dev == 0, \
         f'global train_bs {cfg.train_bs} must divide over {n_dev} devices.'
-    if n_dev > 1 and cfg.fused_window_attn == 'auto':
-        # pallas_call has no SPMD partitioning rule — multi-device DP
-        # training uses the XLA window-attention path (pipeline.py has the
-        # same guard for DP eval)
-        cfg.fused_window_attn = 'off'
+    # multi-device DP keeps the fused window-attention fast path: the
+    # kernel shard_maps over the data axis (ops/window_attention.py,
+    # mesh passed to make_train_step below)
 
     rng = jax.random.PRNGKey(0)
     anchors = make_anchors_for(cfg)
@@ -191,8 +189,9 @@ def main():
                          num_workers=args.num_workers, seed=0,
                          process_index=jax.process_index(),
                          process_count=jax.process_count())
-    train_step = (make_train_step_split(cfg, anchors) if use_split_step
-                  else make_train_step(cfg, anchors))
+    train_step = (make_train_step_split(cfg, anchors, mesh=mesh)
+                  if use_split_step
+                  else make_train_step(cfg, anchors, mesh=mesh))
     sched = lr_schedule(cfg)
     writer = _tb_writer(cfg.name) if main_proc else None
 

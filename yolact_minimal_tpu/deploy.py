@@ -28,9 +28,12 @@ _META_FIELDS = ('name', 'img_size', 'compute_dtype')
 
 
 def export_model(cfg: Config, variables: dict, out_path: str,
-                 check_parity: bool = True) -> str:
+                 check_parity: bool = True, batch: int = 1) -> str:
     """Serialize the raw eval forward (params baked in as constants) plus
-    metadata + anchors into one artifact file."""
+    metadata + anchors into one artifact file. `batch` is the compiled batch
+    size: the reference's TRT engine is built explicit-batch=1
+    (/root/reference/export2trt.py:14-32); on TPU a batch>1 artifact
+    multiplies deploy throughput and the driver pads the tail chunk."""
     import jax
     import jax.numpy as jnp
     from jax import export as jexport
@@ -44,13 +47,15 @@ def export_model(cfg: Config, variables: dict, out_path: str,
     def forward(images):
         return model.apply(frozen, images, train=False)
 
-    shape = jax.ShapeDtypeStruct((1, cfg.img_size, cfg.img_size, 3), jnp.float32)
+    shape = jax.ShapeDtypeStruct((batch, cfg.img_size, cfg.img_size, 3),
+                                 jnp.float32)
     exported = jexport.export(jax.jit(forward))(shape)
     blob = exported.serialize()
 
     anchors = make_anchors(cfg.img_size, cfg.aspect_ratios, cfg.scales)
     meta = {f: getattr(cfg, f) for f in _META_FIELDS}
     meta['class_names'] = list(cfg.class_names)
+    meta['batch'] = batch
 
     with zipfile.ZipFile(out_path, 'w') as z:
         z.writestr('graph.stablehlo', blob)
@@ -61,7 +66,7 @@ def export_model(cfg: Config, variables: dict, out_path: str,
 
     if check_parity:
         img = np.random.RandomState(0).rand(
-            1, cfg.img_size, cfg.img_size, 3).astype(np.float32)
+            batch, cfg.img_size, cfg.img_size, 3).astype(np.float32)
         live = jax.jit(forward)(jnp.asarray(img))
         restored, _, _ = load_exported(out_path)
         again = restored(img)

@@ -31,6 +31,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG = -100.0  # reference mask fill value (swin_transformer.py:385)
 
+# Trace-time SPMD context. pallas_call has no GSPMD partitioning rule, but
+# the window-attention batch axis (B*nW, batch-major) is embarrassingly
+# parallel: with a mesh declared here, the kernel call is wrapped in
+# jax.shard_map over the 1-D 'data' axis so every device runs the fused
+# kernel on its local batch rows — DP train/eval keep the fast path instead
+# of falling back to the XLA einsum formulation (round-4 guards removed).
+_SPMD_MESH = None
+
+
+def set_spmd_mesh(mesh) -> None:
+    """Declare the data mesh for subsequently TRACED graphs (None to clear).
+    Read at trace time only; single-device meshes are treated as None."""
+    global _SPMD_MESH
+    _SPMD_MESH = mesh if (mesh is not None and mesh.devices.size > 1) else None
+
 
 # Per-block VMEM budget for the qkv input block. Empirical: 2.5e6 picked
 # G=80 at the 544 stage-1 geometry and overflowed the 16 MB scoped-vmem
@@ -105,8 +120,6 @@ def _attention_pallas(qkv, bias, region, heads, interpret=False):
     bnw, n, c3 = qkv.shape
     c = c3 // 3
     hd = c // heads
-    nw = region.shape[0] if region is not None else bnw
-    g = _pick_block(nw, n, c3, jnp.dtype(qkv.dtype).itemsize)
     masked = region is not None
     if masked:
         # Additive mask materialized OUTSIDE the kernel at [nW, N, N] f32
@@ -117,28 +130,47 @@ def _attention_pallas(qkv, bias, region, heads, interpret=False):
         # constrains the LAST TWO dims (N, N), which are always full-size.
         madd = jnp.where(region[:, :, None] != region[:, None, :],
                          jnp.float32(_NEG), jnp.float32(0.0))
-        madd_block = (g, n, n)
-        madd_index = lambda i: (i % (nw // g), 0, 0)
     else:
         # dummy input keeps the kernel signature uniform; never read
         madd = jnp.zeros((1, n, n), jnp.float32)
-        madd_block = (1, n, n)
-        madd_index = lambda i: (0, 0, 0)
-    grid = (bnw // g,)
     kern = functools.partial(_kernel, heads=heads, head_dim=hd,
                              scale=hd ** -0.5, masked=masked)
-    return pl.pallas_call(
-        kern,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((g, n, c3), lambda i: (i, 0, 0)),
-            pl.BlockSpec((heads, n, n), lambda i: (0, 0, 0)),
-            pl.BlockSpec(madd_block, madd_index),
-        ],
-        out_specs=pl.BlockSpec((g, n, c), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((bnw, n, c), qkv.dtype),
-        interpret=interpret,
-    )(qkv, bias, madd)
+
+    def call(qkv, bias, madd):
+        # Local shapes: under shard_map the leading (batch-major) dim is
+        # the per-device slice — always a whole number of images. The block
+        # size g is derived from LOCAL quantities: for masked blocks it
+        # divides the per-image window count nw (which divides the local
+        # batch-window count), for unmasked blocks the local count itself.
+        bnw_l = qkv.shape[0]
+        nw = region.shape[0] if masked else bnw_l
+        g = _pick_block(nw, n, c3, jnp.dtype(qkv.dtype).itemsize)
+        if masked:
+            madd_block = (g, n, n)
+            madd_index = lambda i: (i % (nw // g), 0, 0)
+        else:
+            madd_block = (1, n, n)
+            madd_index = lambda i: (0, 0, 0)
+        return pl.pallas_call(
+            kern,
+            grid=(bnw_l // g,),
+            in_specs=[
+                pl.BlockSpec((g, n, c3), lambda i: (i, 0, 0)),
+                pl.BlockSpec((heads, n, n), lambda i: (0, 0, 0)),
+                pl.BlockSpec(madd_block, madd_index),
+            ],
+            out_specs=pl.BlockSpec((g, n, c), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((bnw_l, n, c), qkv.dtype),
+            interpret=interpret,
+        )(qkv, bias, madd)
+
+    if _SPMD_MESH is not None:
+        from jax.sharding import PartitionSpec as P
+        return jax.shard_map(
+            call, mesh=_SPMD_MESH,
+            in_specs=(P('data'), P(), P()), out_specs=P('data'),
+            check_vma=False)(qkv, bias, madd)
+    return call(qkv, bias, madd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))

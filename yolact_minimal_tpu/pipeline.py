@@ -46,12 +46,10 @@ class Detector:
                  static_weights: bool = True):
         self.cfg = cfg
         self.mesh = mesh
-        # pallas_call has no SPMD partitioning rule (same constraint as the
-        # fused mask finalize below): over a multi-device mesh the fused
-        # swin window attention must fall back to the XLA einsum path
-        if (mesh is not None and mesh.devices.size > 1
-                and getattr(cfg, 'fused_window_attn', 'auto') == 'auto'):
-            cfg.fused_window_attn = 'off'
+        # Over a multi-device mesh the fused swin window attention runs
+        # under shard_map on the batch axis (set_spmd_mesh below, declared
+        # at trace time inside each jitted graph) — DP eval keeps the
+        # Pallas fast path instead of falling back to the XLA einsum.
         self.model = Yolact(cfg=cfg, train_mode=False)
         # With static_weights the parameter pytree is CLOSED OVER by the
         # jitted graphs (jit constants) instead of passed as call arguments.
@@ -81,9 +79,20 @@ class Detector:
     def _build_jits(self):
         cfg = self.cfg
 
+        def _apply(variables, images):
+            # trace-time side effect: declares the mesh the fused window
+            # attention shard_maps over (no-op at execution time). Reset in
+            # finally so the global never leaks into other traces (e.g. a
+            # later single-device model.init in the same process).
+            from yolact_minimal_tpu.ops.window_attention import set_spmd_mesh
+            set_spmd_mesh(self.mesh)
+            try:
+                return self.model.apply(variables, images, train=False)
+            finally:
+                set_spmd_mesh(None)
+
         def _infer(variables, images):
-            class_p, box_p, coef_p, proto = self.model.apply(variables, images,
-                                                             train=False)
+            class_p, box_p, coef_p, proto = _apply(variables, images)
             dets = detect_postprocess_batch(
                 class_p, box_p, coef_p, self.anchors, cfg.nms_score_thre,
                 cfg.nms_iou_thre, cfg.top_k, cfg.max_detections,
@@ -94,8 +103,7 @@ class Detector:
             return dets, masks_proto, proto
 
         def _infer_fixed(variables, images, out_size):
-            class_p, box_p, coef_p, proto = self.model.apply(variables, images,
-                                                             train=False)
+            class_p, box_p, coef_p, proto = _apply(variables, images)
             dets = detect_postprocess_batch(
                 class_p, box_p, coef_p, self.anchors, cfg.nms_score_thre,
                 cfg.nms_iou_thre, cfg.top_k, cfg.max_detections,
@@ -131,8 +139,7 @@ class Detector:
         def _infer_raw(variables, images):
             """Forward + box decode only — the device half of the
             --traditional_nms path; greedy suppression runs host-side."""
-            class_p, box_p, coef_p, proto = self.model.apply(variables, images,
-                                                             train=False)
+            class_p, box_p, coef_p, proto = _apply(variables, images)
             boxes = decode(box_p, self.anchors, clip=True)
             return class_p, boxes, coef_p, proto
 

@@ -84,14 +84,17 @@ def create_train_state(cfg: Config, rng, variables: Optional[dict] = None,
     return state
 
 
-def make_train_step(cfg: Config, anchors):
+def make_train_step(cfg: Config, anchors, mesh=None):
     """Build the jitted train step. `batch` is a dict of device arrays:
     image [B,S,S,3], boxes [B,G,4], labels [B,G], valid [B,G],
-    masks_proto [B,G,S/4,S/4], masks_seg [B,G,S/8,S/8]."""
+    masks_proto [B,G,S/4,S/4], masks_seg [B,G,S/8,S/8]. With `mesh` the
+    fused swin window attention shard_maps over the data axis (otherwise
+    GSPMD alone partitions the graph; the kernel has no partitioning rule)."""
     anchors = jnp.asarray(anchors)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: dict, rng):
+        from yolact_minimal_tpu.ops.window_attention import set_spmd_mesh
         rng = jax.random.fold_in(rng, state.step)
         loss_rng, dropout_rng = jax.random.split(rng)
 
@@ -99,9 +102,16 @@ def make_train_step(cfg: Config, anchors):
             variables = {'params': params}
             if state.batch_stats is not None:      # BN backbones only
                 variables['batch_stats'] = state.batch_stats
-            outputs, mutated = state.apply_fn(
-                variables, batch['image'], train=True,
-                mutable=['batch_stats'], rngs={'dropout': dropout_rng})
+            # trace-time declaration of the fused-window-attention mesh
+            # (no-op at runtime); reset in finally so it never leaks into
+            # other traces in the same process
+            set_spmd_mesh(mesh)
+            try:
+                outputs, mutated = state.apply_fn(
+                    variables, batch['image'], train=True,
+                    mutable=['batch_stats'], rngs={'dropout': dropout_rng})
+            finally:
+                set_spmd_mesh(None)
             losses: LossBreakdown = compute_loss(cfg, outputs, batch, anchors,
                                                  loss_rng)
             return losses.total, (losses, mutated)
@@ -114,7 +124,7 @@ def make_train_step(cfg: Config, anchors):
     return train_step
 
 
-def make_train_step_split(cfg: Config, anchors, groups=None):
+def make_train_step_split(cfg: Config, anchors, groups=None, mesh=None):
     """Fallback train step for the fp32@544 operating point, where the
     COMBINED four-loss backward reproducibly faults this TPU backend's
     worker while every per-loss backward passes (round-3 bisection,
@@ -138,6 +148,7 @@ def make_train_step_split(cfg: Config, anchors, groups=None):
     def make_group_fn(idxs, with_aux):
         @jax.jit
         def group_grad(state: TrainState, batch: dict, rng):
+            from yolact_minimal_tpu.ops.window_attention import set_spmd_mesh
             rng = jax.random.fold_in(rng, state.step)
             loss_rng, dropout_rng = jax.random.split(rng)
 
@@ -145,9 +156,13 @@ def make_train_step_split(cfg: Config, anchors, groups=None):
                 variables = {'params': params}
                 if state.batch_stats is not None:
                     variables['batch_stats'] = state.batch_stats
-                outputs, mutated = state.apply_fn(
-                    variables, batch['image'], train=True,
-                    mutable=['batch_stats'], rngs={'dropout': dropout_rng})
+                set_spmd_mesh(mesh)
+                try:
+                    outputs, mutated = state.apply_fn(
+                        variables, batch['image'], train=True,
+                        mutable=['batch_stats'], rngs={'dropout': dropout_rng})
+                finally:
+                    set_spmd_mesh(None)
                 losses = compute_loss(cfg, outputs, batch, anchors, loss_rng)
                 part = sum(losses[i] for i in idxs)
                 return part, (losses, mutated)
