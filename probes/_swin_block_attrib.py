@@ -20,7 +20,7 @@ DT = jnp.bfloat16
 rng = np.random.RandomState(0)
 
 
-def timed(label, one, x, k=12, n=4):
+def timed(label, one, x, k=4, n=6):
     @jax.jit
     def chain(x0):
         x = x0

@@ -116,6 +116,6 @@ def test_swin_block_fused_matches_unfused():
     v = blk.init(jax.random.PRNGKey(0), x)
     ref = blk.apply(v, x)
     out = SwinBlock(96, 3, shift=3, drop_path_rate=0.0,
-                    fused_attn=True).apply(v, x)
+                    fused_attn=True, fused_mlp=True).apply(v, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)

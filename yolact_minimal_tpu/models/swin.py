@@ -162,6 +162,48 @@ class Mlp(nn.Module):
         return nn.Dense(self.dim, kernel_init=_dense_init, dtype=self.dtype, name='fc2')(x)
 
 
+class _LNParams(nn.Module):
+    """Owns LayerNorm parameters (same names/shapes/init as nn.LayerNorm)
+    but returns them as values, for ops that consume the params directly
+    (the fused MLP half-block kernel)."""
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param('scale', nn.initializers.ones, (self.dim,),
+                           jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros, (self.dim,),
+                          jnp.float32)
+        return scale, bias
+
+
+class _DenseParams(nn.Module):
+    """Owns Dense parameters (same names/shapes/init as the nn.Dense used
+    in Mlp) but returns them as values."""
+    in_dim: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param('kernel', _dense_init,
+                            (self.in_dim, self.features), jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        return kernel, bias
+
+
+class _MlpParams(nn.Module):
+    """Param twin of Mlp (children 'fc1'/'fc2' — identical variable tree)."""
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        k1, b1 = _DenseParams(self.dim, self.hidden, name='fc1')()
+        k2, b2 = _DenseParams(self.hidden, self.dim, name='fc2')()
+        return k1, b1, k2, b2
+
+
 def drop_path(x, rate: float, deterministic: bool, rng) -> jnp.ndarray:
     """Per-sample stochastic depth (reference DropPath:62-80)."""
     if deterministic or rate == 0.0:
@@ -182,6 +224,7 @@ class SwinBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     train: bool = False    # attribute, not call arg: nn.remat-friendly
     fused_attn: bool = False
+    fused_mlp: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -216,6 +259,18 @@ class SwinBlock(nn.Module):
         det = not train
         rng1 = self.make_rng('dropout') if (train and self.drop_path_rate > 0) else None
         x = shortcut + drop_path(x, self.drop_path_rate, det, rng1)
+        # MLP half-block: fused single-pass kernel when stochastic depth is
+        # inactive (ops/swin_mlp.py — the XLA lowering's ~14 HBM passes
+        # dominate the block at large geometries); param tree is identical
+        # either way (_LNParams/_MlpParams are variable twins of
+        # nn.LayerNorm/Mlp).
+        if self.fused_mlp and (det or self.drop_path_rate == 0.0):
+            from yolact_minimal_tpu.ops.swin_mlp import mlp_block_fused
+            ln_scale, ln_bias = _LNParams(self.dim, name='norm2')()
+            k1, b1, k2, b2 = _MlpParams(self.dim, self.dim * 4, name='mlp')()
+            flat = x.reshape(-1, c)
+            return mlp_block_fused(flat, ln_scale, ln_bias,
+                                   k1, b1, k2, b2).reshape(b, h, w, c)
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name='norm2')(x)
         y = Mlp(self.dim, self.dim * 4, dtype=self.dtype, name='mlp')(y)
         rng2 = self.make_rng('dropout') if (train and self.drop_path_rate > 0) else None
@@ -261,6 +316,7 @@ class SwinStage(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
     fused_attn: bool = False
+    fused_mlp: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -271,6 +327,7 @@ class SwinStage(nn.Module):
                           drop_path_rate=self.drop_path_rates[i],
                           dtype=self.dtype, train=train,
                           fused_attn=self.fused_attn,
+                          fused_mlp=self.fused_mlp,
                           name=f'block{i}')(x)
         down = PatchMerging(self.dim, dtype=self.dtype,
                             name='downsample')(x) if self.downsample else x
@@ -316,6 +373,7 @@ class SwinTiny(nn.Module):
                 downsample=(i < len(self.depths) - 1),
                 dtype=self.dtype, remat=self.remat,
                 fused_attn=self.fused_attn and i < 3,
+                fused_mlp=self.fused_attn,
                 name=f'stage{i}')(x, train=train)
             off += depth
             if i in (1, 2, 3):
