@@ -23,7 +23,6 @@ identical pair from a client cache (see docs/ARCHITECTURE.md).
 """
 from __future__ import annotations
 
-import copy
 import json
 import os
 import subprocess
@@ -53,11 +52,12 @@ def _mfu(flops_per_call, calls_per_s, dtype):
 
 
 def _cost_flops(lowered, timeout_s: int = 120):
-    """FLOPs of a compiled computation via XLA cost analysis (None if the
-    backend doesn't expose it). The compile for the analysis usually hits
-    the backend's server-side cache (~2 s) but can be minutes cold, so it
-    runs under a SIGALRM guard — MFU is a bonus metric and must never eat
-    the sweep budget."""
+    """FLOPs of a computation via XLA cost analysis (None if unavailable).
+    Prefers the CLIENT-side analysis of the unoptimized HLO
+    (Lowered.cost_analysis — instant); the compile()-based analysis ships
+    the whole executable over the tunnel a second time (~60-100 s for the
+    544 graphs), so it is only a SIGALRM-guarded fallback — MFU is a bonus
+    metric and must never eat the sweep budget."""
     import signal
 
     def _raise(signum, frame):
@@ -66,6 +66,17 @@ def _cost_flops(lowered, timeout_s: int = 120):
     old = signal.signal(signal.SIGALRM, _raise)
     signal.alarm(timeout_s)
     try:
+        try:
+            cost = lowered.cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            flops = float(cost.get('flops', 0.0))
+            if flops > 0:
+                return flops
+        except TimeoutError:
+            return None
+        except Exception:
+            pass
         cost = lowered.compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
@@ -77,16 +88,50 @@ def _cost_flops(lowered, timeout_s: int = 120):
         signal.signal(signal.SIGALRM, old)
 
 
-def _init_on_cpu(init_fn, *args):
-    """Run a flax init on the host CPU backend and move the result to the
-    default (TPU) device. The jitted init graph is as expensive to compile
-    remotely as the forward itself (~140 s measured at 256px) and its
-    output is just the parameter pytree — the CPU backend compiles it in
-    seconds and the one-time H2D transfer is ~100 MB."""
+_T0 = time.monotonic()
+
+
+def _mark(label):
+    """Phase timestamps on stderr (the driver parses stdout JSON only)."""
+    print(f'[bench +{time.monotonic() - _T0:6.1f}s] {label}',
+          file=sys.stderr, flush=True)
+
+
+def _variables_cached(cache_key: str, init_fn, to_device: bool = True):
+    """Disk-cached init variables (.jax_cache/params_*.msgpack): even the
+    64px CPU init costs ~35 s/point (jax+flax import, CPU backend spin-up
+    behind the axon plugin, tracing); a msgpack load is ~1 s. Values are
+    deterministic (PRNGKey(0)), so the cache is write-once. With
+    to_device=False the HOST tree is returned (callers that wrap it in a
+    larger structure before the single H2D upload — every tunnel transfer
+    costs ~1 s per MB)."""
+    import flax.serialization as fser
     import jax
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        '.jax_cache', f'params_{cache_key}.msgpack')
+    if os.path.exists(path):
+        with open(path, 'rb') as f:
+            tree = fser.msgpack_restore(f.read())
+        _mark('  params loaded from disk cache')
+        if not to_device:
+            return tree
+        out = jax.device_put(tree, jax.devices()[0])
+        jax.block_until_ready(out)
+        _mark('  h2d upload done')
+        return out
     with jax.default_device(jax.devices('cpu')[0]):
-        out = init_fn(*args)
-    return jax.device_put(out, jax.devices()[0])
+        tree = jax.device_get(init_fn())
+    _mark('  cpu init done')
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, 'wb') as f:
+        f.write(fser.msgpack_serialize(tree))
+    if not to_device:
+        return tree
+    out = jax.device_put(tree, jax.devices()[0])
+    jax.block_until_ready(out)
+    _mark('  h2d upload done')
+    return out
 
 
 def bench_detect(cfg_name: str, img_size: int, batch: int,
@@ -105,17 +150,24 @@ def bench_detect(cfg_name: str, img_size: int, batch: int,
     if fused_window_attn:
         cfg.fused_window_attn = fused_window_attn
     model = Yolact(cfg=cfg, train_mode=False)
-    # init with the fused window attention off: the Pallas kernel can't
-    # lower on the CPU init device, and the param tree is identical either
-    # way (the fused/XLA split is downstream of the qkv/bias params)
-    cfg_i = copy.copy(cfg)
-    cfg_i.fused_window_attn = 'off'
-    model_i = Yolact(cfg=cfg_i, train_mode=False)
-    variables = _init_on_cpu(
-        lambda: model_i.init(jax.random.PRNGKey(0),
-                             jnp.zeros((1, img_size, img_size, 3),
-                                       jnp.float32),
-                             train=False))
+    _mark(f'config+model built ({cfg_name} {img_size} b{batch})')
+    # init with the fused window attention off (the Pallas kernel can't
+    # lower on the CPU init device) and at a TINY image size: the param
+    # tree is invariant to img_size (dense/conv shapes depend only on
+    # channel widths; verified for both backbone families), and a 544px
+    # swin init forward on the host CPU costs ~60 s that a 64px one
+    # doesn't.
+    def _init():
+        cfg_i = get_config(cfg_name, mode='val', img_size=64,
+                           compute_dtype=dtype)
+        cfg_i.fused_window_attn = 'off'
+        model_i = Yolact(cfg=cfg_i, train_mode=False)
+        return model_i.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 64, 64, 3), jnp.float32),
+                            train=False)
+
+    variables = _variables_cached(f'{cfg_name}_val', _init)
+    _mark('params ready')
     det = Detector(cfg, variables)
     import numpy as np
     images = jnp.asarray(
@@ -133,9 +185,11 @@ def bench_detect(cfg_name: str, img_size: int, batch: int,
     # output is the only reliable drain (validated against a known-FLOPs
     # matmul chain: 30 ms/call measured vs 28 ms theoretical floor).
     out = det.detect_fixed(images, img_size)     # compile + warmup
+    _mark('detect executable ready (compile or cache restore)')
     imgs_i = perturb(images, out[0].scores)      # compile the perturbation
     out = det.detect_fixed(imgs_i, img_size)
     jax.device_get(out[0].scores[0, 0])
+    _mark('warmup complete')
 
     t0 = time.perf_counter()
     for _ in range(n_iters):
@@ -144,10 +198,12 @@ def bench_detect(cfg_name: str, img_size: int, batch: int,
     jax.device_get(out[0].scores[0, 0])          # drain the dispatch queue
     dt = time.perf_counter() - t0
     imgs_per_s = n_iters * batch / dt
+    _mark(f'timed: {imgs_per_s:.1f} img/s')
 
     flops = _cost_flops(jax.jit(
         lambda v, x: model.apply(v, x, train=False)
     ).lower(det.variables, images))
+    _mark('cost analysis done')
     return {'img_per_s': round(imgs_per_s, 2),
             'mfu': _mfu(flops, n_iters / dt, dtype)}
 
@@ -168,21 +224,32 @@ def bench_train_step(cfg_name: str, img_size: int, batch: int,
 
     cfg = get_config(cfg_name, mode='train', img_size=img_size,
                      train_bs=batch, max_gt=16, compute_dtype=dtype)
-    def _make_state():
-        # fused-off init for the same reason as bench_detect (same tree);
-        # the returned TrainState's apply_fn still follows cfg, so the
-        # timed step runs the real TPU path
+    def _init():
+        # fused-off, 64px init for the same reasons as bench_detect (the
+        # param tree is img_size-invariant and the CPU init forward at the
+        # real size is expensive); the TrainState's apply_fn still follows
+        # cfg, so the timed step runs the real TPU path
         from yolact_minimal_tpu.models.yolact import Yolact
-        cfg_i = copy.copy(cfg)
+        cfg_i = get_config(cfg_name, mode='train', img_size=64,
+                           train_bs=batch, max_gt=16, compute_dtype=dtype)
         cfg_i.fused_window_attn = 'off'
         import jax.numpy as jnp
-        dummy = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
-        variables = Yolact(cfg=cfg_i, train_mode=True).init(
+        dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        return Yolact(cfg=cfg_i, train_mode=True).init(
             jax.random.PRNGKey(0), dummy, train=True)
-        return create_train_state(cfg, jax.random.PRNGKey(0),
-                                  variables=variables)
 
-    state = _init_on_cpu(_make_state)
+    # build the full TrainState (optimizer zeros etc.) on the host CPU and
+    # move it in ONE device_put, like the r04 bench did: creating the
+    # opt_state leaf-by-leaf on the remote TPU left the step executable
+    # ~20x slower (measured 202 -> 9 img/s; plausibly an argument-buffer
+    # layout/pinning effect of the incremental on-device allocations)
+    variables = _variables_cached(f'{cfg_name}_train', _init, to_device=False)
+    with jax.default_device(jax.devices('cpu')[0]):
+        state = create_train_state(cfg, jax.random.PRNGKey(0),
+                                   variables=variables)
+    state = jax.device_put(state, jax.devices()[0])
+    jax.block_until_ready(jax.tree_util.tree_leaves(state.params)[0])
+    _mark('train state ready')
     step_fn = make_train_step(cfg, make_anchors_for(cfg))
 
     rng = np.random.RandomState(0)
@@ -199,17 +266,22 @@ def bench_train_step(cfg_name: str, img_size: int, batch: int,
         masks_seg=(rng.rand(batch, g, img_size // 8, img_size // 8) > 0.5)
         .astype(np.float32)))
 
-    flops = _cost_flops(step_fn.lower(state, batch_d, jax.random.PRNGKey(1)))
+    lowered = step_fn.lower(state, batch_d, jax.random.PRNGKey(1))
+    _mark('train step lowered')
 
     key = jax.random.PRNGKey(1)
     state, losses = step_fn(state, batch_d, key)     # compile + warmup
     jax.device_get(losses.total)                     # real drain (see note above)
+    _mark('train step executable ready + warm')
 
     t0 = time.perf_counter()
     for _ in range(n_iters):
         state, losses = step_fn(state, batch_d, key)
     jax.device_get(losses.total)
     dt = time.perf_counter() - t0
+    _mark(f'timed: {n_iters * batch / dt:.1f} img/s')
+    flops = _cost_flops(lowered)
+    _mark('cost analysis done')
     return {'img_per_s': round(n_iters * batch / dt, 2),
             'mfu': _mfu(flops, n_iters / dt, dtype)}
 
@@ -365,8 +437,13 @@ def main():
         # points that follow — they'd only time out inside their own
         # budgets while the worker recovers.
         point('swin_tiny_coco_detect_544_bs16', 'detect:swin_tiny_coco:544:16')
-        point('res50_coco_train_544_bs8', 'train:res50_coco:544:8')
+        # res101 BEFORE the train point: the train state upload (~240 MB
+        # over the tunnel) makes that point's duration the most variable
+        # of the sweep (87-300+ s observed) — it must not starve the
+        # cheaper detect points (r05 dry run: train hit its 300 s cap and
+        # left res101 an 82 s budget)
         point('res101_coco_detect_544', 'detect:res101_coco:544:16')
+        point('res50_coco_train_544_bs8', 'train:res50_coco:544:8')
         for img, b in SWIN_POINTS:
             if img == 544:
                 continue  # covered above
