@@ -111,19 +111,23 @@ def main():
     # reproducibly kills the worker, while every per-loss backward passes
     # (round-3 bisection, probes/_fp32_probe*.py: execution-level backend
     # fault, not OOM — compiler accounts 5.4 GB of 16 GB HBM; --remat does
-    # not help). The split train step dispatches each loss's backward as
-    # its own executable — the known-good graphs — and sums gradients on
-    # device, keeping the reference's fp32 default point available at
-    # ~4x the step cost. --force runs the fused step anyway.
+    # not help). The split train step dispatches loss-GROUP backwards as
+    # separate executables and sums gradients on device, keeping the
+    # reference's fp32 default point available. Round-5 bisection
+    # (probes/_fp32_group_bisect.py) validated the 2-group split
+    # (class+box | mask+semantic): 112.9 ms/step (70.9 img/s) at 544/b8 —
+    # ~2x the estimated fused-fp32 cost instead of the 4-way split's ~4x.
+    # --force runs the fused step anyway.
     use_split_step = (cfg.compute_dtype == 'float32' and cfg.img_size >= 544
                       and cfg.train_bs > 4
                       and jax.default_backend() != 'cpu' and not args.force)
+    split_groups = ((0, 1), (2, 3))   # validated on hardware, round 5
     if use_split_step:
         print('NOTE: fp32 training at img_size>=544/train_bs>4 uses the '
-              'per-loss-backward split step on this backend (the fused '
-              'four-loss backward faults the TPU worker; see '
-              'docs/ARCHITECTURE.md). Expect ~4x step cost; '
-              '--compute_dtype bfloat16 is the fast path.')
+              '2-group split step on this backend (the fused four-loss '
+              'backward faults the TPU worker; see docs/ARCHITECTURE.md). '
+              'Expect ~2x step cost; --compute_dtype bfloat16 is the '
+              'fast path.')
 
     main_proc = is_main_process()
     if main_proc:
@@ -189,7 +193,8 @@ def main():
                          num_workers=args.num_workers, seed=0,
                          process_index=jax.process_index(),
                          process_count=jax.process_count())
-    train_step = (make_train_step_split(cfg, anchors, mesh=mesh)
+    train_step = (make_train_step_split(cfg, anchors, groups=split_groups,
+                                        mesh=mesh)
                   if use_split_step
                   else make_train_step(cfg, anchors, mesh=mesh))
     sched = lr_schedule(cfg)

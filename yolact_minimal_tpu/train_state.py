@@ -140,7 +140,11 @@ def make_train_step_split(cfg: Config, anchors, groups=None, mesh=None):
     the fast path.
 
     groups: tuple of index tuples over (loss_c, loss_b, loss_m, loss_s);
-    default one dispatch per loss."""
+    default one dispatch per loss (the maximally safe grouping). The
+    round-5 hardware bisection (probes/_fp32_group_bisect.py) validated
+    ((0, 1), (2, 3)) — class+box | mask+semantic — at 544/b8: 112.9
+    ms/step, halving the 4-way split's cost; train.py passes it at the
+    fault boundary."""
     anchors = jnp.asarray(anchors)
     if groups is None:
         groups = ((0,), (1,), (2,), (3,))
