@@ -99,7 +99,8 @@ class WindowAttention(nn.Module):
     dim: int
     num_heads: int
     dtype: jnp.dtype = jnp.float32
-    fused: bool = False
+    fused: bool = False        # Pallas attention kernel (qkv slicing inside)
+    fused_block: bool = False  # whole half-block kernel (qkv+attn+proj)
 
     @nn.compact
     def __call__(self, x, region: Optional[jnp.ndarray]):
@@ -113,6 +114,25 @@ class WindowAttention(nn.Module):
         bias = table[idx.reshape(-1)].reshape(n, n, heads)
         bias = bias.transpose(2, 0, 1).astype(self.dtype)    # [heads, N, N]
 
+        if self.fused_block:
+            # Whole attention half: qkv projection + attention + output
+            # projection as ONE Pallas pass (ops/window_attention.py
+            # window_attention_block_fused) — the 3C-wide qkv tensor and the
+            # attention output never round-trip HBM. _DenseParams twins keep
+            # the param tree identical to the nn.Dense modules below.
+            # Measured at 544/b16 (probes/_attn_block_probe.py): wins at
+            # stages 0-1 (5.07 vs 5.46, 2.53 vs 2.96 ms), loses at stage 2+
+            # (1.78 vs 1.56) — SwinTiny picks per stage.
+            from yolact_minimal_tpu.ops.window_attention import \
+                window_attention_block_fused
+            wqkv, bqkv = _DenseParams(c, 3 * self.dim, name='qkv')()
+            wproj, bproj = _DenseParams(self.dim, self.dim, name='proj')()
+            reg = None if region is None else jnp.asarray(
+                np.asarray(region, np.int32))
+            return window_attention_block_fused(
+                x.astype(self.dtype), wqkv, bqkv, bias, reg, wproj, bproj,
+                heads)
+
         # Slice q/k/v out of the packed projection and let dot_general absorb
         # the head split — same channel->(head, hd) mapping as the reference
         # packing (swin_transformer.py:170-172) but with no explicit 5-D
@@ -125,28 +145,30 @@ class WindowAttention(nn.Module):
             reg = None if region is None else jnp.asarray(
                 np.asarray(region, np.int32))
             out = window_attention_fused(qkv, bias, reg, heads)
-        else:
-            q = qkv[..., :self.dim].reshape(bnw, n, heads, hd)
-            k = qkv[..., self.dim:2 * self.dim].reshape(bnw, n, heads, hd)
-            v = qkv[..., 2 * self.dim:].reshape(bnw, n, heads, hd)
+            return nn.Dense(self.dim, kernel_init=_dense_init,
+                            dtype=self.dtype, name='proj')(out)
 
-            attn = jnp.einsum('bnhd,bmhd->bhnm', q * (hd ** -0.5), k,
-                              preferred_element_type=jnp.float32)
-            attn = attn + bias[None].astype(attn.dtype)
-            if region is not None:
-                mask = jnp.asarray(np.where(
-                    np.asarray(region)[:, None, :]
-                    != np.asarray(region)[:, :, None],
-                    -100.0, 0.0).astype(np.float32))
-                nw = mask.shape[0]
-                attn = attn.reshape(bnw // nw, nw, heads, n, n)
-                attn = attn + mask[None, :, None].astype(attn.dtype)
-                attn = attn.reshape(bnw, heads, n, n)
-            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        q = qkv[..., :self.dim].reshape(bnw, n, heads, hd)
+        k = qkv[..., self.dim:2 * self.dim].reshape(bnw, n, heads, hd)
+        v = qkv[..., 2 * self.dim:].reshape(bnw, n, heads, hd)
 
-            out = jnp.einsum('bhnm,bmhd->bnhd', attn, v,
-                             preferred_element_type=jnp.float32).astype(self.dtype)
-            out = out.reshape(bnw, n, c)
+        attn = jnp.einsum('bnhd,bmhd->bhnm', q * (hd ** -0.5), k,
+                          preferred_element_type=jnp.float32)
+        attn = attn + bias[None].astype(attn.dtype)
+        if region is not None:
+            mask = jnp.asarray(np.where(
+                np.asarray(region)[:, None, :]
+                != np.asarray(region)[:, :, None],
+                -100.0, 0.0).astype(np.float32))
+            nw = mask.shape[0]
+            attn = attn.reshape(bnw // nw, nw, heads, n, n)
+            attn = attn + mask[None, :, None].astype(attn.dtype)
+            attn = attn.reshape(bnw, heads, n, n)
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+
+        out = jnp.einsum('bhnm,bmhd->bnhd', attn, v,
+                         preferred_element_type=jnp.float32).astype(self.dtype)
+        out = out.reshape(bnw, n, c)
         return nn.Dense(self.dim, kernel_init=_dense_init, dtype=self.dtype, name='proj')(out)
 
 
@@ -224,6 +246,7 @@ class SwinBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     train: bool = False    # attribute, not call arg: nn.remat-friendly
     fused_attn: bool = False
+    fused_attn_block: bool = False
     fused_mlp: bool = False
 
     @nn.compact
@@ -248,6 +271,7 @@ class SwinBlock(nn.Module):
         windows = window_partition(x, WINDOW)
         attended = WindowAttention(self.dim, self.num_heads, dtype=self.dtype,
                                    fused=self.fused_attn,
+                                   fused_block=self.fused_attn_block,
                                    name='attn')(windows, region)
         x = window_reverse(attended, WINDOW, hp, wp)
 
@@ -316,6 +340,7 @@ class SwinStage(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
     fused_attn: bool = False
+    fused_attn_block: bool = False
     fused_mlp: bool = False
 
     @nn.compact
@@ -327,6 +352,7 @@ class SwinStage(nn.Module):
                           drop_path_rate=self.drop_path_rates[i],
                           dtype=self.dtype, train=train,
                           fused_attn=self.fused_attn,
+                          fused_attn_block=self.fused_attn_block,
                           fused_mlp=self.fused_mlp,
                           name=f'block{i}')(x)
         down = PatchMerging(self.dim, dtype=self.dtype,
@@ -362,17 +388,21 @@ class SwinTiny(nn.Module):
         off = 0
         for i, depth in enumerate(self.depths):
             dim = self.embed_dim * (2 ** i)
-            # Per-stage kernel choice (measured, v5e @544 b16, ms/call):
-            # stage0 6.2->2.6, stage1 2.9->1.4, stage2 1.2->1.0 favor the
-            # fused kernel; stage3 (24 heads, 9 windows) is 0.89->0.98 —
-            # blocks are too small to amortize, XLA wins. See
-            # docs/ARCHITECTURE.md decision table.
+            # Per-stage attention-kernel choice (measured, v5e @544 b16,
+            # probes/_attn_block_probe.py, round 5): the whole-half-block
+            # kernel (qkv+attn+proj in one pass) wins at stages 0-1
+            # (5.07 vs 5.46, 2.53 vs 2.96 ms/block); the composed form
+            # (XLA qkv Dense + attention kernel + XLA proj) wins at stage 2
+            # (1.56 vs 1.78); stage 3 (24 heads, 9 windows) is too small to
+            # amortize any kernel — XLA einsum wins (0.89 vs 0.98 r04).
+            # See docs/ARCHITECTURE.md decision table.
             x_out, x = SwinStage(
                 dim=dim, depth=depth, num_heads=self.num_heads[i],
                 drop_path_rates=tuple(dpr[off:off + depth]),
                 downsample=(i < len(self.depths) - 1),
                 dtype=self.dtype, remat=self.remat,
-                fused_attn=self.fused_attn and i < 3,
+                fused_attn=self.fused_attn and i == 2,
+                fused_attn_block=self.fused_attn and i < 2,
                 fused_mlp=self.fused_attn,
                 name=f'stage{i}')(x, train=train)
             off += depth
