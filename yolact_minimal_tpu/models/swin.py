@@ -72,6 +72,24 @@ def shifted_window_mask(hp: int, wp: int, window: int = WINDOW,
     return np.where(diff, -100.0, 0.0).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=None)
+def pad_rowmask(h: int, w: int, hp: int, wp: int, shift: int,
+                window: int = WINDOW):
+    """Static [nW, N] 1/0 validity of each windowed row after padding
+    (h, w) -> (hp, wp) and rolling by -shift: 0 marks a padding token. None
+    when no padding is needed. Feeds the fused whole-block kernel, which
+    zeroes the LN1 output on padding rows to reproduce the reference's
+    pad-AFTER-norm semantics (swin_transformer.py:243-247)."""
+    if hp == h and wp == w:
+        return None
+    m = np.zeros((hp, wp), np.float32)
+    m[:h, :w] = 1.0
+    if shift:
+        m = np.roll(m, (-shift, -shift), axis=(0, 1))
+    m = m.reshape(hp // window, window, wp // window, window)
+    return m.transpose(0, 2, 1, 3).reshape(-1, window * window)
+
+
 def window_partition(x: jnp.ndarray, window: int) -> jnp.ndarray:
     """[B, H, W, C] -> [B * nW, window*window, C]."""
     b, h, w, c = x.shape
@@ -226,6 +244,23 @@ class _MlpParams(nn.Module):
         return k1, b1, k2, b2
 
 
+class _AttnParams(nn.Module):
+    """Param twin of WindowAttention ('rel_bias_table' + children
+    'qkv'/'proj' — identical variable tree), for the fused whole-block
+    kernel that consumes the params directly."""
+    dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self):
+        table = self.param(
+            'rel_bias_table', nn.initializers.truncated_normal(0.02),
+            ((2 * WINDOW - 1) ** 2, self.num_heads), jnp.float32)
+        wqkv, bqkv = _DenseParams(self.dim, 3 * self.dim, name='qkv')()
+        wproj, bproj = _DenseParams(self.dim, self.dim, name='proj')()
+        return table, wqkv, bqkv, wproj, bproj
+
+
 def drop_path(x, rate: float, deterministic: bool, rng) -> jnp.ndarray:
     """Per-sample stochastic depth (reference DropPath:62-80)."""
     if deterministic or rate == 0.0:
@@ -248,11 +283,15 @@ class SwinBlock(nn.Module):
     fused_attn: bool = False
     fused_attn_block: bool = False
     fused_mlp: bool = False
+    fused_whole: bool = False  # BOTH halves as one Pallas pass
 
     @nn.compact
     def __call__(self, x):
         train = self.train
         b, h, w, c = x.shape
+        det = not train
+        if self.fused_whole and (det or self.drop_path_rate == 0.0):
+            return self._whole_fused(x)
         shortcut = x
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name='norm1')(x)
 
@@ -300,6 +339,50 @@ class SwinBlock(nn.Module):
         rng2 = self.make_rng('dropout') if (train and self.drop_path_rate > 0) else None
         return x + drop_path(y, self.drop_path_rate, det, rng2)
 
+    def _whole_fused(self, x):
+        """Both block halves as ONE Pallas pass (ops/swin_block.py): the
+        tensor is read once and written once per block — only the pad/roll/
+        partition and reverse/crop copies remain in XLA. Active when
+        stochastic depth is inactive; param tree is identical to the unfused
+        modules (_LNParams/_AttnParams/_MlpParams twins)."""
+        from yolact_minimal_tpu.ops.swin_block import swin_block_fused
+        b, h, w, c = x.shape
+        ln1_s, ln1_b = _LNParams(self.dim, name='norm1')()
+        table, wqkv, bqkv, wproj, bproj = _AttnParams(
+            self.dim, self.num_heads, name='attn')()
+        ln2_s, ln2_b = _LNParams(self.dim, name='norm2')()
+        k1, b1, k2, b2 = _MlpParams(self.dim, self.dim * 4, name='mlp')()
+
+        n = WINDOW * WINDOW
+        idx = jnp.asarray(relative_position_index())
+        bias = table[idx.reshape(-1)].reshape(n, n, self.num_heads)
+        bias = bias.transpose(2, 0, 1).astype(self.dtype)
+
+        pad_b = (WINDOW - h % WINDOW) % WINDOW
+        pad_r = (WINDOW - w % WINDOW) % WINDOW
+        if pad_b or pad_r:
+            x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        hp, wp = h + pad_b, w + pad_r
+        if self.shift > 0:
+            x = jnp.roll(x, (-self.shift, -self.shift), axis=(1, 2))
+            region = jnp.asarray(
+                shifted_window_regions(hp, wp).astype(np.int32))
+        else:
+            region = None
+        rm = pad_rowmask(h, w, hp, wp, self.shift)
+        rm = None if rm is None else jnp.asarray(rm)
+
+        windows = window_partition(x.astype(self.dtype), WINDOW)
+        y = swin_block_fused(windows, rm, ln1_s, ln1_b, wqkv, bqkv, bias,
+                             region, wproj, bproj, ln2_s, ln2_b, k1, b1,
+                             k2, b2, self.num_heads)
+        y = window_reverse(y, WINDOW, hp, wp)
+        if self.shift > 0:
+            y = jnp.roll(y, (self.shift, self.shift), axis=(1, 2))
+        if pad_b or pad_r:
+            y = y[:, :h, :w, :]
+        return y
+
 
 class PatchMerging(nn.Module):
     """2x2 spatial concat -> LayerNorm -> Linear 4C->2C (reference
@@ -342,6 +425,7 @@ class SwinStage(nn.Module):
     fused_attn: bool = False
     fused_attn_block: bool = False
     fused_mlp: bool = False
+    fused_whole: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -354,6 +438,7 @@ class SwinStage(nn.Module):
                           fused_attn=self.fused_attn,
                           fused_attn_block=self.fused_attn_block,
                           fused_mlp=self.fused_mlp,
+                          fused_whole=self.fused_whole,
                           name=f'block{i}')(x)
         down = PatchMerging(self.dim, dtype=self.dtype,
                             name='downsample')(x) if self.downsample else x
