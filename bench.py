@@ -200,8 +200,19 @@ def bench_detect(cfg_name: str, img_size: int, batch: int,
     imgs_per_s = n_iters * batch / dt
     _mark(f'timed: {imgs_per_s:.1f} img/s')
 
+    # FLOPs for MFU come from the pure-XLA (fused_window_attn=off) lowering
+    # of the SAME graph: Lowered.cost_analysis cannot see inside Pallas
+    # calls, so a fused-kernel lowering under-counts the computation (swin
+    # read 0.12-0.13 while the kernels were doing the attention math). The
+    # off-variant computes identical math with every op visible — FLOPs of
+    # the computation, not the implementation. Lowering is client-side and
+    # costs one trace, no compile.
+    cfg_f = get_config(cfg_name, mode='val', img_size=img_size,
+                       compute_dtype=dtype)
+    cfg_f.fused_window_attn = 'off'
+    model_f = Yolact(cfg=cfg_f, train_mode=False)
     flops = _cost_flops(jax.jit(
-        lambda v, x: model.apply(v, x, train=False)
+        lambda v, x: model_f.apply(v, x, train=False)
     ).lower(det.variables, images))
     _mark('cost analysis done')
     return {'img_per_s': round(imgs_per_s, 2),
