@@ -473,30 +473,30 @@ class SwinTiny(nn.Module):
         off = 0
         for i, depth in enumerate(self.depths):
             dim = self.embed_dim * (2 ** i)
-            # Per-stage kernel choice (measured, v5e @544 b16, round 5 —
-            # probes/_attn_block_probe.py + _swin_whole_probe.py, whole
-            # SwinBlock ms): stages 0-1 (400/100 windows) run the attention
-            # half-block + fused-MLP pair (8.98 / 4.45 vs 11.03 / 4.67 for
-            # the whole-block kernel — many windows let XLA overlap the
-            # inter-kernel glue, and the mega-kernel serializes VPU work
-            # against the MXU); stages 2-3 (25/9 windows) run the WHOLE
-            # SwinBlock as one Pallas pass (2.50 vs 2.63, 2.31 vs 2.51 —
-            # few windows make dispatch+glue dominate, fusion wins). See
+            # Per-stage kernel choice (measured, v5e @544 b16): the
+            # composed form — XLA qkv/proj Dense + the fused ATTENTION
+            # kernel + the fused MLP half-block — wins END-TO-END at
+            # stages 0-2 (r04: stage0 6.2->2.6, stage1 2.9->1.4, stage2
+            # 1.2->1.0 ms vs plain XLA); stage 3 (24 heads, 9 windows) is
+            # too small to amortize the attention kernel — XLA einsum wins.
+            # The round-5 deeper fusions (attention half-block kernel,
+            # whole-SwinBlock kernel) WIN their isolated A/Bs
+            # (probes/_attn_block_probe.py, _swin_whole_probe.py) but LOSE
+            # in the full detect graph — 295 / 293 img/s vs 311 at 544/b16
+            # — because XLA fuses the composed path's LN/partition/Dense
+            # glue across op boundaries that a mega-kernel forces into
+            # serialized in-kernel VPU work. They remain validated,
+            # SPMD-capable opt-ins (fused_attn_block / fused_whole). See
             # docs/ARCHITECTURE.md decision table.
             x_out, x = SwinStage(
                 dim=dim, depth=depth, num_heads=self.num_heads[i],
                 drop_path_rates=tuple(dpr[off:off + depth]),
                 downsample=(i < len(self.depths) - 1),
                 dtype=self.dtype, remat=self.remat,
-                # fused_attn/fused_mlp also serve as the TRAIN-time
-                # fallback for stages 2-3: when stochastic depth is active
-                # the whole-block kernel steps aside per block (no residual
-                # scaling inside the kernel) and the block runs the r04
-                # composed-kernel policy instead.
-                fused_attn=self.fused_attn and i == 2,
-                fused_attn_block=self.fused_attn and i < 2,
+                fused_attn=self.fused_attn and i < 3,
+                fused_attn_block=False,
                 fused_mlp=self.fused_attn,
-                fused_whole=self.fused_attn and i >= 2,
+                fused_whole=False,
                 name=f'stage{i}')(x, train=train)
             off += depth
             if i in (1, 2, 3):
