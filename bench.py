@@ -425,9 +425,14 @@ def main():
     if not args.quick:
         extra = {f'{args.cfg}_detect_{args.img_size}_mfu': head['mfu']}
 
-        def point(key, spec):
+        def point(key, spec, min_budget=60):
+            """min_budget: measured warm-point floor on a SLOW worker (the
+            r05 dry run burned 122 s on a doomed res101 attempt that a
+            cheaper later point could have used) — a point whose budget
+            can't cover its floor is skipped, NOT attempted, so the ladder
+            falls through to cheaper points."""
             budget = min(300.0, remaining() - 45)
-            if budget < 60:
+            if budget < min_budget:
                 extra[f'{key}_skipped'] = 'deadline'
                 return False
             try:
@@ -447,14 +452,19 @@ def main():
         # its own subprocess, so a regression can no longer blank the
         # points that follow — they'd only time out inside their own
         # budgets while the worker recovers.
-        point('swin_tiny_coco_detect_544_bs16', 'detect:swin_tiny_coco:544:16')
+        point('swin_tiny_coco_detect_544_bs16', 'detect:swin_tiny_coco:544:16',
+              min_budget=120)
         # res101 BEFORE the train point: the train state upload (~240 MB
         # over the tunnel) makes that point's duration the most variable
         # of the sweep (87-300+ s observed) — it must not starve the
         # cheaper detect points (r05 dry run: train hit its 300 s cap and
-        # left res101 an 82 s budget)
-        point('res101_coco_detect_544', 'detect:res101_coco:544:16')
-        point('res50_coco_train_544_bs8', 'train:res50_coco:544:8')
+        # left res101 an 82 s budget). min_budget floors are warm-point
+        # costs measured on a slow worker (r05: res101 ~170 s, train
+        # ~90-215 s, swin-256 ~60 s).
+        point('res101_coco_detect_544', 'detect:res101_coco:544:16',
+              min_budget=150)
+        point('res50_coco_train_544_bs8', 'train:res50_coco:544:8',
+              min_budget=150)
         for img, b in SWIN_POINTS:
             if img == 544:
                 continue  # covered above
