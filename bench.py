@@ -482,7 +482,8 @@ def main():
             if img == 544:
                 continue  # covered above
             if not point(f'swin_tiny_coco_detect_{img}_bs{b}',
-                         f'detect:swin_tiny_coco:{img}:{b}'):
+                         f'detect:swin_tiny_coco:{img}:{b}',
+                         min_budget=150):
                 break
         result['extra'] = extra
         # Final line repeats the headline with whatever extras completed;
