@@ -21,6 +21,11 @@ def _run(h, w, c, heads, shift, dtype=jnp.float32):
     return np.asarray(out, np.float32), np.asarray(ref, np.float32)
 
 
+# The whole-block kernel is a validated OPT-IN (the default per-stage policy
+# composes the attention + MLP half-block kernels; see docs/ARCHITECTURE.md),
+# so only the padded-shifted parity + bf16 cases stay in the quick tier; the
+# redundant geometries and the 20 s grad check ride the slow tier.
+@pytest.mark.slow
 @pytest.mark.parametrize('shift', [0, 3])
 def test_whole_fused_no_padding(shift):
     out, ref = _run(28, 28, 96, 3, shift)
@@ -35,6 +40,7 @@ def test_whole_fused_with_padding(shift):
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_whole_fused_stage1_geometry():
     out, ref = _run(14, 14, 192, 6, 3)
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
@@ -45,6 +51,7 @@ def test_whole_fused_bf16():
     np.testing.assert_allclose(out, ref, rtol=3e-2, atol=3e-2)
 
 
+@pytest.mark.slow
 def test_whole_fused_grads_match():
     """custom_vjp backward (XLA-oracle recompute) must match the unfused
     module's grads through a whole padded, shifted block."""

@@ -5,9 +5,14 @@ import os
 
 import cv2
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
+
+# ~45 s on the CPU mesh (full detect pipeline over 11 frames) — slow tier,
+# like the other integration drivers (deploy, train_step).
+pytestmark = pytest.mark.slow
 
 from yolact_minimal_tpu.config import get_config
 from yolact_minimal_tpu.models.yolact import Yolact
